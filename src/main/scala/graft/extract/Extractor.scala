@@ -1,0 +1,235 @@
+package graft.extract
+
+import scala.collection.mutable.ArrayBuffer
+import graft.html.Dom
+import graft.geom.BBox
+import graft.layout.{ReadingOrderPipeline, Word}
+
+/** A candidate text block lifted from the DOM. */
+final case class Block(
+    tag: String,
+    label: String,
+    text: String,
+    linkChars: Int,
+    classTokens: Set[String],
+    ancestorTags: Set[String]) {
+  def chars: Int = text.length
+  def words: Int = if (text.isEmpty) 0 else {
+    var c = 1; var i = 0
+    while (i < text.length) { if (text.charAt(i) == ' ') c += 1; i += 1 }
+    c
+  }
+}
+
+/** Typed span into the extracted text. */
+final case class Span(kind: String, label: String, start: Long, end: Long,
+                      order: Int, line: Int)
+final case class BlockOut(label: String, order: Int, line: Int,
+                          x: Int, y: Int, w: Int, h: Int)
+final case class Extracted(url: String, text: String,
+                           spans: Array[Span], blocks: Array[BlockOut])
+
+/** Main-content extraction: streaming tokenizer → DOM → block scoring
+  * (text/link density + tag/class heuristics à la Boilerpipe/Readability)
+  * → layout branch over pseudo-geometry (reading-order pipeline at block
+  * granularity) → text + typed spans.
+  *
+  * All thresholds are integer-exact (`3·linkChars > chars`, `words ≥ 5`,
+  * `chars ≥ 30`) so the decision is reproducible byte-for-byte on any
+  * platform. Extracted text = content blocks in document order, each
+  * whitespace-normalised, joined by '\n'.
+  *
+  * The per-page cost is O(blocks²) in the layout branch with blocks ≈
+  * 10-100 — deliberately block-level, not word-level, so the 100 TB job
+  * stays compute-bounded (the reference runs the same DAG at word level,
+  * O(n²) with n ≈ 500, per page; see BASELINE.md).
+  */
+object Extractor {
+
+  /** Elements whose subtree is never content. */
+  private val skipTags = Set("script", "style", "noscript", "head", "title",
+    "svg", "iframe", "template", "select", "option", "button", "object")
+
+  /** Elements that open a new text block. */
+  private val blockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "dt", "dd",
+    "td", "th", "pre", "blockquote", "figcaption", "caption", "article",
+    "section", "main", "header", "footer", "nav", "aside", "ul", "ol",
+    "table", "thead", "tbody", "tfoot", "tr", "figure", "form", "fieldset",
+    "body", "html", "#root", "address", "details", "summary")
+
+  /** Structural ancestors that mark chrome, not content. */
+  private val chromeTags = Set("nav", "aside", "header", "footer")
+
+  /** class/id tokens that mark boilerplate chrome. */
+  private val boilerplateTokens = Set(
+    "nav", "navbar", "menu", "footer", "header", "sidebar", "breadcrumb",
+    "breadcrumbs", "comment", "comments", "share", "social", "ad", "ads",
+    "advert", "advertisement", "promo", "banner", "cookie", "copyright",
+    "widget", "related", "pagination", "pager", "masthead", "subscribe",
+    "newsletter", "popup", "modal", "skip", "toolbar", "dropdown")
+
+  private def labelOf(tag: String): String = tag match {
+    case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
+    case "li" | "dt" | "dd"                       => "list_item"
+    case "td" | "th"                              => "table_cell"
+    case "caption" | "figcaption"                 => "caption"
+    case "pre"                                    => "code"
+    case "blockquote"                             => "quote"
+    case _                                        => "paragraph"
+  }
+
+  /** Collapse all whitespace runs to single spaces and trim. */
+  def normalize(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = sb.length() > 0
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def classTokensOf(dom: Dom, node: Int): Set[String] = {
+    val raw = (dom.attr(node, "class").getOrElse("") + " " +
+               dom.attr(node, "id").getOrElse("")).toLowerCase
+    raw.split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSet
+  }
+
+  /** DOM → candidate blocks, document order. */
+  def blocksOf(dom: Dom): Vector[Block] = {
+    val out = ArrayBuffer.empty[Block]
+
+    final class Ctx(val tag: String, val classTokens: Set[String],
+                    val ancestorTags: Set[String]) {
+      val sb = new java.lang.StringBuilder()
+      var linkChars = 0
+    }
+
+    def flush(ctx: Ctx): Unit = {
+      val text = normalize(ctx.sb.toString)
+      if (text.nonEmpty)
+        out += Block(ctx.tag, labelOf(ctx.tag), text, math.min(ctx.linkChars, text.length),
+          ctx.classTokens, ctx.ancestorTags)
+      ctx.sb.setLength(0)
+      ctx.linkChars = 0
+    }
+
+    // Text nodes are appended verbatim — source whitespace decides word
+    // separation (browser-faithful: `word<b>x</b>` concatenates, and the
+    // markup between words carries the spaces). <br> contributes a space.
+    def walk(node: Int, ctx: Ctx, inLink: Boolean): Unit = {
+      if (dom.isText(node)) {
+        val t = dom.text(node)
+        ctx.sb.append(t)
+        if (inLink) ctx.linkChars += normalize(t).length
+      } else {
+        val tag = dom.tag(node)
+        if (!skipTags.contains(tag)) {
+          if (blockTags.contains(tag) && node != dom.root) {
+            flush(ctx)
+            val sub = new Ctx(tag,
+              ctx.classTokens ++ classTokensOf(dom, node),
+              ctx.ancestorTags + ctx.tag)
+            dom.children(node).foreach(walk(_, sub, inLink))
+            flush(sub)
+          } else {
+            if (tag == "br") ctx.sb.append(' ')
+            val link = inLink || tag == "a"
+            dom.children(node).foreach(walk(_, ctx, link))
+          }
+        }
+      }
+    }
+
+    val rootCtx = new Ctx("#root", Set.empty, Set.empty)
+    walk(dom.root, rootCtx, inLink = false)
+    flush(rootCtx)
+    out.toVector
+  }
+
+  /** The content decision — Boilerpipe-style, integer-exact. */
+  def isContent(b: Block): Boolean = {
+    if (b.text.isEmpty) return false
+    if (b.ancestorTags.exists(chromeTags.contains) || chromeTags.contains(b.tag)) return false
+    if (b.classTokens.exists(boilerplateTokens.contains)) return false
+    if (3 * b.linkChars > b.chars) return false
+    if (b.label == "heading") b.chars >= 3
+    else b.words >= 5 || b.chars >= 30
+  }
+
+  // pseudo-geometry constants (block layout on a virtual 960px page)
+  private val PageW = 960
+  private val MarginX = 40
+  private val CharW = 8
+  private val LineH = 20
+  private val BlockGap = 10
+  private val LineChars = (PageW - 2 * MarginX) / CharW // 110
+
+  /** Lines a block occupies when wrapped at LineChars. */
+  def lineCount(chars: Int): Int = math.max(1, (chars + LineChars - 1) / LineChars)
+
+  /** Extract one page. */
+  def extract(url: String, html: Array[Byte]): Extracted = {
+    val dom = Dom.parse(html)
+    val all = blocksOf(dom)
+    val content = all.filter(isContent)
+
+    // text assembly: document order, '\n'-joined
+    val sb = new java.lang.StringBuilder()
+    val offsets = new Array[(Long, Long)](content.length)
+    var i = 0
+    while (i < content.length) {
+      if (i > 0) sb.append('\n')
+      val start = sb.length().toLong
+      sb.append(content(i).text)
+      offsets(i) = (start, sb.length().toLong)
+      i += 1
+    }
+    val text = sb.toString
+
+    // layout branch: block boxes stacked on the virtual page, ordered by
+    // the reading-order pipeline (paragraph walk at block granularity)
+    var cursor = MarginX
+    val words = new Array[Word](content.length)
+    val lineStart = new Array[Int](content.length)
+    var lineCursor = 1
+    i = 0
+    while (i < content.length) {
+      val lines = lineCount(content(i).chars)
+      val w = math.min(content(i).chars * CharW, PageW - 2 * MarginX)
+      words(i) = Word(i, BBox(MarginX, cursor, math.max(w, CharW), lines * LineH))
+      lineStart(i) = lineCursor
+      lineCursor += lines
+      cursor += lines * LineH + BlockGap
+      i += 1
+    }
+    val pageH = math.max(cursor + MarginX, 200)
+    val layout = ReadingOrderPipeline.run(words.toIndexedSeq, PageW, pageH)
+    // block order: 1-based reading order from the pipeline; a block whose
+    // word never got ordered (unreachable chain) keeps document order
+    val orderOf = Array.tabulate(content.length)(identity)
+    for (r <- layout.regions) {
+      // region bbox y maps back to the block via its unique y coordinate
+      val idx = words.indexWhere(w => w.bbox == r.bbox)
+      if (idx >= 0) orderOf(idx) = r.order - 1
+    }
+
+    val spans = Array.tabulate(content.length) { k =>
+      Span(kind = content(k).label, label = content(k).tag,
+        start = offsets(k)._1, end = offsets(k)._2,
+        order = orderOf(k) + 1, line = lineStart(k))
+    }
+    val blocks = Array.tabulate(content.length) { k =>
+      val b = words(k).bbox
+      BlockOut(content(k).label, orderOf(k) + 1, lineStart(k), b.x, b.y, b.w, b.h)
+    }
+    Extracted(url, text, spans, blocks)
+  }
+}

@@ -1,0 +1,119 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Arena DOM: nodes live in flat arrays, children linked by index. One
+  * arena per page, built in the same pass as tokenization — bounded by the
+  * page size, no global state (the per-page transform's memory contract,
+  * SURVEY.md §4).
+  */
+final class Dom private (
+    val tag: Array[String],          // "" for text nodes
+    val text: Array[String],         // decoded text for text nodes, else ""
+    val attrs: Array[List[(String, String)]],
+    val parent: Array[Int],
+    val firstChild: Array[Int],
+    val nextSibling: Array[Int]) {
+
+  def size: Int = tag.length
+  def isText(i: Int): Boolean = tag(i).isEmpty
+  def root: Int = 0
+
+  def children(i: Int): Iterator[Int] = new Iterator[Int] {
+    private var cur = firstChild(i)
+    def hasNext: Boolean = cur >= 0
+    def next(): Int = { val c = cur; cur = nextSibling(c); c }
+  }
+
+  def attr(i: Int, name: String): Option[String] =
+    attrs(i).collectFirst { case (n, v) if n == name => v }
+
+  /** Depth-first pre-order walk below `i` (inclusive). */
+  def walk(i: Int)(f: Int => Unit): Unit = {
+    f(i)
+    var c = firstChild(i)
+    while (c >= 0) { walk(c)(f); c = nextSibling(c) }
+  }
+}
+
+object Dom {
+  /** Void elements never get children (HTML5 spec list). */
+  private val voidTags = Set(
+    "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
+    "meta", "param", "source", "track", "wbr")
+
+  /** Simplified implicit-close rules: opening `key` closes an open element
+    * in the value set (subset of the HTML5 tree-builder's "in body"
+    * rules — the deterministic core, not the full spec). */
+  private val implicitClose: Map[String, Set[String]] = {
+    val p = Set("p")
+    Map(
+      "p" -> p, "div" -> p, "ul" -> p, "ol" -> p, "table" -> p,
+      "h1" -> p, "h2" -> p, "h3" -> p, "h4" -> p, "h5" -> p, "h6" -> p,
+      "blockquote" -> p, "pre" -> p, "section" -> p, "article" -> p,
+      "aside" -> p, "nav" -> p, "header" -> p, "footer" -> p, "figure" -> p,
+      "li" -> Set("li"),
+      "dt" -> Set("dt", "dd"), "dd" -> Set("dt", "dd"),
+      "tr" -> Set("tr", "td", "th"),
+      "td" -> Set("td", "th"), "th" -> Set("td", "th"),
+      "option" -> Set("option"))
+  }
+
+  /** Parse bytes → DOM in one streaming pass. Never throws on malformed
+    * input: stray end tags are ignored unless a matching ancestor is open,
+    * in which case everything above it is popped. */
+  def parse(bytes: Array[Byte]): Dom = {
+    val tag = ArrayBuffer[String]("#root")
+    val text = ArrayBuffer[String]("")
+    val attrs = ArrayBuffer[List[(String, String)]](Nil)
+    val parent = ArrayBuffer[Int](-1)
+    val firstChild = ArrayBuffer[Int](-1)
+    val nextSibling = ArrayBuffer[Int](-1)
+    val lastChild = ArrayBuffer[Int](-1)
+
+    // open-element stack of node indices
+    var stack = List(0)
+
+    def addNode(t: String, txt: String, as: List[(String, String)]): Int = {
+      val id = tag.length
+      val par = stack.head
+      tag += t; text += txt; attrs += as
+      parent += par; firstChild += -1; nextSibling += -1; lastChild += -1
+      if (firstChild(par) < 0) firstChild(par) = id
+      else nextSibling(lastChild(par)) = id
+      lastChild(par) = id
+      id
+    }
+
+    Tokenizer.tokenizeTo(bytes, {
+      case HtmlToken.Start(name, as, selfClosing, _) =>
+        implicitClose.get(name).foreach { closes =>
+          if (stack.nonEmpty && closes.contains(tag(stack.head)))
+            stack = stack.tail
+        }
+        val id = addNode(name, "", as)
+        if (!selfClosing && !voidTags.contains(name)) stack ::= id
+
+      case HtmlToken.End(name, _) =>
+        if (stack.exists(ix => tag(ix) == name)) {
+          while (tag(stack.head) != name) stack = stack.tail
+          stack = stack.tail
+          if (stack.isEmpty) stack = List(0)
+        }
+
+      case HtmlToken.Text(raw, _) =>
+        // rawtext bodies (script/style) are kept verbatim; normal text is
+        // entity-decoded here, once
+        val parentTag = tag(stack.head)
+        val decoded =
+          if (parentTag == "script" || parentTag == "style" || parentTag == "noscript") raw
+          else Entities.decode(raw)
+        if (decoded.nonEmpty) addNode("", decoded, Nil)
+
+      case _ => // comments / doctype carry no content
+    })
+
+    new Dom(tag.toArray, text.toArray, attrs.toArray, parent.toArray,
+      firstChild.toArray, nextSibling.toArray)
+  }
+}
