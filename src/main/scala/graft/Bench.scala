@@ -1,24 +1,74 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.jobs.{ExtractionJob, JobConfig}
+import graft.pages.PagesTable
+
+/** Benchmark main: headline queries + extraction throughput on
+  * SPARK_GRAFT_SF_DIR at local[SPARK_GRAFT_CPUS].
+  *
+  * Prints ONE JSON line:
+  *   {"metric":"total","value":<sec>,"unit":"sec",
+  *    "queries":{...per-query sec...,"extract_docs_per_sec":N},"sf":"..."}
+  *
+  * Scaling evidence (N vs 4N executors, BASELINE.md protocol): run twice —
+  *   SPARK_GRAFT_CPUS=8 ... graft.Bench   (N)
+  *   SPARK_GRAFT_CPUS=32 ... graft.Bench  (4N)
+  * on the same sf dir and compare extract_docs_per_sec.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val sfName = new java.io.File(sfDir).getName
+    val pagesPath = PagesTable.ensure(spark, sfName)
+
+    // headline query subset (the expensive, representative ones)
+    val headline = Seq(
+      "t5_minhash", "t6_simhash", "t7_jaccard_pairs",
+      "e1_knn_exact", "e2_knn_ivf", "q1_agg", "q3_window")
+
+    def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // extraction throughput: fresh out dir each bench run (no resume skip)
+    val outPath = java.nio.file.Files.createTempDirectory("graft_bench").toString
+    val nDocs = PagesTable.rowsFor(sfName)
+    val (_, extractSec) = time {
+      ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "bench"))
+    }
+    results += "extract" -> extractSec
+    val docsPerSec = nDocs / extractSec
+
+    for (name <- headline; fn <- SparkEntry.queries.get(name)) {
+      val (_, sec) = time {
+        try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+        catch { case _: Throwable => fn(spark, sfDir).count() }
+      }
+      results += name -> sec
+    }
+
+    val qs = (results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" } ++
+      Seq(s""""extract_docs_per_sec":${f"$docsPerSec%.1f"}""",
+          s""""extract_docs":$nDocs""", s""""cpus":$cpus"""))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

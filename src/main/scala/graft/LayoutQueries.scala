@@ -1,0 +1,56 @@
+package graft
+
+import graft.extract.Extractor
+import graft.geom.BBox
+import graft.html.Dom
+import graft.layout._
+
+/** Per-page layout-operator drivers for the query surface: build
+  * deterministic detector box sets from a page's extracted blocks and run
+  * the ensemble-merge / projection operators over them. The second and
+  * third "detectors" are jittered variants of the first (pure function of
+  * the box geometry), standing in for the reference's multi-model
+  * ensembles (V-05.xx). */
+object LayoutQueries {
+
+  private def blockBoxes(url: String, html: Array[Byte]): Vector[Region] = {
+    val ex = Extractor.extract(url, html)
+    ex.blocks.iterator.zipWithIndex.map { case (b, i) =>
+      Region(BBox(b.x, b.y, b.w, b.h), order = i + 1, line = b.line)
+    }.toVector
+  }
+
+  /** Deterministic jitter: shift/scale derived from box coordinates. */
+  private def jitter(rs: Vector[Region], dx: Int, dy: Int, grow: Int): Vector[Region] =
+    rs.map { r =>
+      val b = r.bbox
+      Region(BBox(b.x + dx + (b.y % 3), b.y + dy + (b.x % 3),
+        math.max(1, b.w + grow), math.max(1, b.h + grow)), order = 0, line = r.line)
+    }
+
+  def mergeEnsemble(url: String, html: Array[Byte]): (String, Int, Long) = {
+    val set1 = blockBoxes(url, html)
+    val set2 = jitter(set1, 3, 2, 4)
+    val merged = Merge.mergePipelineTwo(set1, set2)
+    (url, merged.length, merged.iterator.map(_.order.toLong).sum)
+  }
+
+  def mergeThreeV3(url: String, html: Array[Byte]): (String, Int, Long) = {
+    val set1 = blockBoxes(url, html)
+    val set2 = jitter(set1, 3, 2, 4)
+    val set3 = jitter(set1, -2, 5, -2)
+    val merged = MergeV3.mergePipelineThreeV3(set1, set2, set3)
+    (url, merged.length, merged.iterator.map(_.order.toLong).sum)
+  }
+
+  /** Projection-profile line segmentation over the pseudo-page ink
+    * density (block boxes rasterised onto the y axis). */
+  def projectionLines(url: String, html: Array[Byte]): (String, Int, Long) = {
+    val boxes = blockBoxes(url, html)
+    val height = boxes.iterator.map(_.bbox.y2).foldLeft(200)(math.max) + 20
+    val hpp = new Array[Long](height)
+    for (r <- boxes; y <- r.bbox.y until r.bbox.y2) hpp(y) += r.bbox.w.toLong
+    val lines = Projection.segmentLines(hpp.toIndexedSeq, width = 960)
+    (url, lines.length, lines.iterator.map(_.bbox.h.toLong).sum)
+  }
+}

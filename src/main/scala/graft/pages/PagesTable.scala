@@ -1,0 +1,46 @@
+package graft.pages
+
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+
+/** Materialisation of the synthetic `pages` table (FIXTURES.md §1).
+  *
+  * Deterministic per (seed, n): generation is a pure function, so the
+  * parquet can be (re)built at any time and oracle queries over it are
+  * stable. Generated distributed — one generator per partition, no
+  * driver-side collection.
+  */
+object PagesTable {
+  val Seed = 42L
+
+  /** Row count per scale-factor directory name. */
+  def rowsFor(sfName: String): Long = sfName match {
+    case "sf0.001" => 200L
+    case "sf0.01"  => 2000L
+    case "sf0.1"   => 100000L
+    case _         => 2000L
+  }
+
+  def dirFor(sfName: String): String = s"/root/repo/data/pages/$sfName"
+
+  /** Distributed deterministic generation. */
+  def generate(spark: SparkSession, seed: Long, n: Long,
+               partitions: Int = 32): Dataset[PageRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, partitions).mapPartitions { it =>
+      it.map(i => PageGen.page(seed, i))
+    }
+  }
+
+  /** Write-if-missing; returns the parquet path. */
+  def ensure(spark: SparkSession, sfName: String): String = {
+    val dir = dirFor(sfName)
+    val marker = new java.io.File(dir, "_SUCCESS")
+    if (!marker.exists()) {
+      val n = rowsFor(sfName)
+      val parts = math.max(1, math.min(32, n / 100)).toInt
+      generate(spark, Seed, n, parts)
+        .write.mode(SaveMode.Overwrite).parquet(dir)
+    }
+    dir
+  }
+}

@@ -1,0 +1,125 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators over a `documents(doc_id, text, lang, …)`
+  * table. Everything is built from codegen'd built-in expressions — no
+  * UDFs in any hot path — and all outputs are integer-exact so the DuckDB
+  * oracle comparison is bit-stable.
+  *
+  * Hashing convention shared with the oracle SQL: h(s) = the first 15 hex
+  * digits of md5(s) read as a base-16 integer (60 bits, always positive,
+  * identical in Spark's `conv` and DuckDB's `CAST('0x'||… AS BIGINT)`).
+  */
+object TextOps {
+
+  private def tokens(c: Column): Column = split(trim(c), "\\s+")
+
+  /** 60-bit md5-derived hash of a string column. */
+  def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Token + char counts. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(tokens(col("text"))).as("n_tokens"),
+      length(col("text")).as("n_chars"))
+
+  /** Quality metrics: token count, distinct-token count, non-space chars —
+    * the length/repetition signals of a quality scorer, integer-exact. */
+  def quality(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    docs.select(col("doc_id"),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_distinct"),
+      length(regexp_replace(col("text"), "\\s+", "")).as("n_nonspace"))
+  }
+
+  /** Exact-duplicate groups keyed by the md5 of the full text. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+
+  /** Near-duplicate groups keyed by the md5 of the first 5 tokens —
+    * prefix fingerprinting. */
+  def dedupPrefix(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
+
+  /** Word 3-shingles of the text column. */
+  def shingles(c: Column): Column = {
+    val w = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(w) - 2, lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(3))))
+  }
+
+  /** MinHash signature: 8 independent 60-bit min-hashes over word
+    * 3-shingles (seeded by prefixing the shingle with "i:"). */
+  def minhash(docs: DataFrame, nHashes: Int = 8): DataFrame = {
+    val sh = shingles(col("text"))
+    val cols = (0 until nHashes).map { i =>
+      array_min(transform(sh, s => md5Hash60(concat(lit(s"$i:"), s)))).as(s"h$i")
+    }
+    docs.select(col("doc_id") +: cols: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing a MinHash band (bands of
+    * `bandSize` consecutive signature slots). Output (a, b, band). */
+  def minhashPairs(docs: DataFrame, nHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    val sig = minhash(docs, nHashes)
+    val nBands = nHashes / bandSize
+    val banded = (0 until nBands).map { b =>
+      val slots = (0 until bandSize).map(k => col(s"h${b * bandSize + k}"))
+      sig.select(col("doc_id"),
+        lit(b).as("band"),
+        md5(concat_ws(",", slots.map(_.cast("string")): _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = banded.as("l")
+    val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+      col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"), col("l.band").as("band"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash over per-token 60-bit hashes (each occurrence votes
+    * ±1 per bit; bit set when the vote sum is positive). */
+  def simhash(docs: DataFrame): DataFrame = {
+    val hs = transform(tokens(col("text")), t => md5Hash60(t))
+    val bitScores = (0 until 16).map { b =>
+      aggregate(hs, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    }
+    val sim = bitScores.zipWithIndex.map { case (s, b) =>
+      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    docs.select(col("doc_id"), sim.as("simhash"))
+  }
+
+  /** N-gram Jaccard near-dup pairs: explode distinct 3-shingles, self-join
+    * on shingle, jaccard = inter / (|A|+|B|-inter); emitted when
+    * 10·inter ≥ 3·union (≥ 0.3), integer-exact. */
+  def jaccardPairs(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"),
+      explode(array_distinct(shingles(col("text")))).as("s"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("l").join(sh.as("r"),
+        col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .filter(col("inter") * 10 >= col("un") * 3)
+      .select(col("a"), col("b"), col("inter"), col("un"))
+  }
+
+  /** Document fingerprint: md5-derived 60-bit hash of the normalised
+    * token stream (whitespace-canonical content hash). */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      md5Hash60(concat_ws(" ", tokens(col("text")))).as("fp"))
+}

@@ -1,0 +1,72 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pages.PagesTable
+
+class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val tmp = java.nio.file.Files.createTempDirectory("graftjob").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("extraction job: full run, byte-identical text, resume anti-join, metrics reconcile") {
+    val pagesPath = s"$tmp/pages"
+    val outPath = s"$tmp/out"
+    PagesTable.generate(spark, seed = 42L, n = 300, partitions = 4)
+      .write.parquet(pagesPath)
+
+    // phase 1: pretend a partial earlier run committed pages 0..99
+    val phase1 = s"$tmp/pages_subset"
+    spark.read.parquet(pagesPath)
+      .filter(org.apache.spark.sql.functions
+        .regexp_extract(org.apache.spark.sql.functions.col("url"), "articles/(\\d+)", 1).cast("long") < 100)
+      .write.parquet(phase1)
+    val total1 = ExtractionJob.run(spark, JobConfig(phase1, outPath, runId = "r1"))
+    assert(total1 == 100)
+
+    // phase 2: full input — resume must extract only the missing 200
+    val total2 = ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "r2"))
+    assert(total2 == 300)
+    val m = ExtractionJob.readMetrics(spark, JobConfig(pagesPath, outPath)).collect()
+    val docsR2 = m.filter(_.run_id == "r2").map(_.docs_parsed).sum
+    assert(docsR2 == 200, s"resume should process exactly the 200 missing docs, got $docsR2")
+    val docsAll = m.map(_.docs_parsed).sum
+    assert(docsAll == 300, "sigma docs over all runs == input count")
+    assert(m.forall(_.extraction_failures == 0))
+
+    // extracted text is byte-identical to the generator's golden text
+    val joined = spark.read.parquet(s"$outPath/extracted").select("url", "text")
+      .withColumnRenamed("text", "got")
+      .join(spark.read.parquet(pagesPath).select("url", "text"), "url")
+    assert(joined.count() == 300)
+    val mismatches = joined.filter(org.apache.spark.sql.functions.col("got") =!= org.apache.spark.sql.functions.col("text")).count()
+    assert(mismatches == 0)
+
+    // re-running with nothing to do processes zero docs
+    ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "r3"))
+    val docsR3 = ExtractionJob.readMetrics(spark, JobConfig(pagesPath, outPath))
+      .collect().filter(_.run_id == "r3").map(_.docs_parsed).sum
+    assert(docsR3 == 0)
+  }
+
+  test("work-set plan pushes column pruning to the scan and salts partitions") {
+    val pagesPath = s"$tmp/pages"
+    val plan = ExtractionJob.planWorkSet(spark, JobConfig(pagesPath, s"$tmp/out2"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<url:string,html:binary>"),
+      s"scan must read only url+html:\n$plan")
+    assert(plan.toLowerCase.contains("exchange"), "salted repartition present")
+  }
+}
