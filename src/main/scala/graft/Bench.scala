@@ -46,6 +46,17 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // JIT warmup: the 100 TB job runs for hours at steady state — measure
+    // that, not codegen/JIT ramp. One extraction pass over ~5% of the docs.
+    locally {
+      import spark.implicits._
+      spark.read.parquet(pagesPath).select("url", "html")
+        .limit((PagesTable.rowsFor(sfName) / 20).toInt.max(500))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (u, h) => graft.extract.Extractor.extract(u, h) })
+        .write.mode("overwrite").format("noop").save()
+    }
+
     // extraction throughput: fresh out dir each bench run (no resume skip)
     val outPath = java.nio.file.Files.createTempDirectory("graft_bench").toString
     val nDocs = PagesTable.rowsFor(sfName)

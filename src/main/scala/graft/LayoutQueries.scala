@@ -43,6 +43,54 @@ object LayoutQueries {
     (url, merged.length, merged.iterator.map(_.order.toLong).sum)
   }
 
+  /** W4 + W5: top-down/left-right paragraph sort, then column grouping —
+    * runs the paragraph stage of the pipeline and the two column
+    * operators over it; emits per-page column stats. */
+  def columns(url: String, html: Array[Byte]): (String, Int, Int, Long) = {
+    val ex = Extractor.extract(url, html)
+    val words = ex.blocks.iterator.zipWithIndex.map { case (b, i) =>
+      Word(i, BBox(b.x, b.y, b.w, b.h))
+    }.toVector
+    if (words.isEmpty) return (url, 0, 0, 0L)
+    val (h, v) = Neighbors.findClosestNeighbors(words.map(_.bbox))
+    val x = graft.geom.Kde.kdeEstimateD(h, horizontal = true)
+    val y = graft.geom.Kde.kdeEstimateD(v, horizontal = false)
+    val (r, l, t, bm) = Neighbors.fourDirectionLinks(words.map(_.bbox), x, y)
+    val comps = Neighbors.connectedComponents(words.length, Seq(r, l, t, bm))
+    val envs = Paragraphs.envelopes(comps, words)
+    val ordered = Paragraphs.getParagraphOrder(envs)
+    val withCols = Paragraphs.getCol(ordered)
+    val nCols = withCols.iterator.map(_.col).distinct.length
+    (url, withCols.length, nCols, withCols.iterator.map(_.order.toLong).sum)
+  }
+
+  /** F6: layout-class filter — table/figure blocks become zones; paragraph
+    * envelopes ≥50% inside them are dropped. Emits (kept, dropped). */
+  def layoutFilter(url: String, html: Array[Byte]): (String, Int, Int) = {
+    val ex = Extractor.extract(url, html)
+    val zones = ex.blocks.iterator
+      .filter(b => b.label == "table_cell" || b.label == "caption")
+      .map(b => (b.x.toDouble, b.y.toDouble, (b.x + b.w).toDouble, (b.y + b.h).toDouble))
+      .toSeq
+    val paras = ex.blocks.iterator.zipWithIndex.map { case (b, i) =>
+      Para(members = Vector(i), id = i,
+        top = graft.geom.Pt(b.x + b.w / 2.0, b.y.toDouble),
+        bottom = graft.geom.Pt(b.x + b.w / 2.0, (b.y + b.h).toDouble),
+        right = graft.geom.Pt((b.x + b.w).toDouble, b.y + b.h / 2.0),
+        left = graft.geom.Pt(b.x.toDouble, b.y + b.h / 2.0))
+    }.toVector
+    val kept = Paragraphs.filterLayouts(paras, Map("table" -> zones))
+    (url, kept.length, paras.length - kept.length)
+  }
+
+  /** Text attributes (bold/italic) per block — textualAttribute analogue. */
+  def textAttributes(url: String, html: Array[Byte]): Seq[(String, Int, String, Int, Int, Int)] = {
+    val dom = graft.html.Dom.parse(html)
+    graft.extract.TextAttributes.blockAttrs(dom).map { a =>
+      (url, a.idx, a.tag, a.chars, a.boldChars, a.italicChars)
+    }
+  }
+
   /** Projection-profile line segmentation over the pseudo-page ink
     * density (block boxes rasterised onto the y axis). */
   def projectionLines(url: String, html: Array[Byte]): (String, Int, Long) = {

@@ -98,6 +98,56 @@ object SparkEntry {
         .toDF("url", "n_lines", "line_height_sum")
     }),
 
+    "l5_columns" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .map { case (u, h) => LayoutQueries.columns(u, h) }
+        .toDF("url", "n_paras", "n_cols", "order_sum")
+    }),
+
+    "l6_layout_filter" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .map { case (u, h) => LayoutQueries.layoutFilter(u, h) }
+        .toDF("url", "kept", "dropped")
+    }),
+
+    "l7_text_attributes" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .flatMap { case (u, h) => LayoutQueries.textAttributes(u, h) }
+        .toDF("url", "block_idx", "tag", "chars", "bold_chars", "italic_chars")
+    }),
+
+    // ---- multimodal plumbing (html bytes stand in for media payloads) ---
+    "m1_media_meta" -> ((s, d) => {
+      val media = pagesDf(s, d).select(col("url").as("media_id"), col("html").as("media"))
+      graft.mm.MultiModal.decode(s, media).toDF()
+    }),
+
+    "m2_media_frames" -> ((s, d) => {
+      val media = pagesDf(s, d).select(col("url").as("media_id"), col("html").as("media"))
+      graft.mm.MultiModal.sampleFrames(s, graft.mm.MultiModal.decode(s, media), everyN = 10)
+    }),
+
+    "m3_media_features" -> ((s, d) => {
+      val media = pagesDf(s, d).select(col("url").as("media_id"), col("html").as("media"))
+      graft.mm.MultiModal.features(s, media).toDF()
+        .select(col("media_id"), round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
+          round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+    }),
+
+    // ---- scalar shell: base64 source (S3) round-trip -------------------
+    "x6_base64" -> ((s, d) =>
+      pagesDf(s, d).select(col("url"),
+        octet_length(unbase64(base64(col("html")))).as("n_bytes"))),
+
+    // ---- exact median (A3) per language -------------------------------
+    "t10_len_median" -> ((s, d) =>
+      docs(s, d).groupBy("lang")
+        .agg(percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+          count(lit(1)).as("docs"))),
+
     // ---- training-data text ops (documents table) -----------------------
     "t1_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
     "t2_quality" -> ((s, d) => TextOps.quality(docs(s, d))),
@@ -159,6 +209,11 @@ object SparkEntry {
         (s"SELECT url FROM $pages WHERE CAST(regexp_extract(url, 'articles/(\\d+)', 1) AS BIGINT) % 3 <> 0"),
       "x4_lang_metrics" ->
         (s"SELECT lang, count(*) AS docs, sum(octet_length(html)) AS html_bytes FROM $pages GROUP BY lang"),
+      "x6_base64" ->
+        (s"SELECT url, octet_length(html) AS n_bytes FROM $pages"),
+      "t10_len_median" ->
+        ("SELECT lang, median(n_chars) AS median_chars, count(*) AS docs " +
+         "FROM documents GROUP BY lang"),
       "t1_tokens" ->
         s"SELECT doc_id, length($tok) AS n_tokens, length(text) AS n_chars FROM documents",
       "t2_quality" ->

@@ -215,10 +215,12 @@ object Extractor {
     // block order: 1-based reading order from the pipeline; a block whose
     // word never got ordered (unreachable chain) keeps document order
     val orderOf = Array.tabulate(content.length)(identity)
+    // block boxes have unique y coordinates — O(1) map-back
+    val byY = new java.util.HashMap[Int, Int](content.length * 2)
+    for (k <- words.indices) byY.put(words(k).bbox.y, k)
     for (r <- layout.regions) {
-      // region bbox y maps back to the block via its unique y coordinate
-      val idx = words.indexWhere(w => w.bbox == r.bbox)
-      if (idx >= 0) orderOf(idx) = r.order - 1
+      val idx = byY.getOrDefault(r.bbox.y, -1)
+      if (idx >= 0 && words(idx).bbox == r.bbox) orderOf(idx) = r.order - 1
     }
 
     val spans = Array.tabulate(content.length) { k =>

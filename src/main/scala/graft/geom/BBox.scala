@@ -48,5 +48,11 @@ object BBox {
 
 /** 2-D point (edge midpoint, center, ...). */
 final case class Pt(x: Double, y: Double) {
-  def dist(o: Pt): Double = math.hypot(x - o.x, y - o.y)
+  /** sqrt(dx²+dy²) — matches scipy's euclidean (the reference's metric)
+    * and is ~5× faster than Math.hypot's over/underflow-safe path. */
+  def dist(o: Pt): Double = {
+    val dx = x - o.x
+    val dy = y - o.y
+    math.sqrt(dx * dx + dy * dy)
+  }
 }

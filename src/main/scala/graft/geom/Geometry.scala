@@ -43,9 +43,22 @@ object Geometry {
   def isBoxInside(large: (Double, Double, Double, Double),
                   small: (Double, Double, Double, Double),
                   thresholdPct: Double): Boolean =
-    (large._1 < small._1 && small._3 < large._3 &&
-     large._2 < small._2 && small._4 < large._4) ||
-    overlapPctOfSmall(large, small) >= thresholdPct
+    isBoxInside8(large._1, large._2, large._3, large._4,
+      small._1, small._2, small._3, small._4, thresholdPct)
+
+  /** Allocation-free form for the O(n²) pinp scans. */
+  def isBoxInside8(lx1: Double, ly1: Double, lx2: Double, ly2: Double,
+                   sx1: Double, sy1: Double, sx2: Double, sy2: Double,
+                   thresholdPct: Double): Boolean = {
+    if (lx1 < sx1 && sx2 < lx2 && ly1 < sy1 && sy2 < ly2) return true
+    val ox1 = math.max(lx1, sx1)
+    val oy1 = math.max(ly1, sy1)
+    val ox2 = math.min(lx2, sx2)
+    val oy2 = math.min(ly2, sy2)
+    val overlap = math.max(0.0, ox2 - ox1) * math.max(0.0, oy2 - oy1)
+    val smallArea = (sx2 - sx1) * (sy2 - sy1)
+    overlap / smallArea * 100.0 >= thresholdPct
+  }
 
   /** Exact median, the reference's `calculate_median`: sort ascending, take
     * the middle element, or the mean of the two middles when even

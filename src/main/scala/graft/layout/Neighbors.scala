@@ -23,38 +23,77 @@ object Neighbors {
     val n = boxes.length
     val horizontal = new Array[Double](n)
     val vertical = new Array[Double](n)
+    // primitive midpoint arrays — no per-pair allocation in the O(n²) scan
+    val lx = new Array[Double](n); val ly = new Array[Double](n)
+    val rx = new Array[Double](n); val ry = new Array[Double](n)
+    val tx = new Array[Double](n); val ty = new Array[Double](n)
+    val bx = new Array[Double](n); val by = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val b = boxes(k)
+      lx(k) = b.leftMid.x; ly(k) = b.leftMid.y
+      rx(k) = b.rightMid.x; ry(k) = b.rightMid.y
+      tx(k) = b.topMid.x; ty(k) = b.topMid.y
+      bx(k) = b.bottomMid.x; by(k) = b.bottomMid.y
+      k += 1
+    }
+    val sel = new Smallest3
     var i = 0
     while (i < n) {
-      val hs = new java.util.ArrayList[Double](2 * n)
-      val vs = new java.util.ArrayList[Double](2 * n)
-      val bi = boxes(i)
+      sel.resetH(); sel.resetV()
+      // squared distances in the O(n^2) scan; sqrt deferred to the 3 kept
+      // (sqrt(dx^2+dy^2) matches scipy's euclidean exactly)
       var j = 0
       while (j < n) {
         if (i != j) {
-          val bj = boxes(j)
-          hs.add(bi.leftMid.dist(bj.rightMid))
-          hs.add(bi.rightMid.dist(bj.leftMid))
-          vs.add(bi.bottomMid.dist(bj.topMid))
-          vs.add(bi.topMid.dist(bj.bottomMid))
+          var dx = lx(i) - rx(j); var dy = ly(i) - ry(j)
+          sel.offerH(dx * dx + dy * dy)
+          dx = rx(i) - lx(j); dy = ry(i) - ly(j)
+          sel.offerH(dx * dx + dy * dy)
+          dx = bx(i) - tx(j); dy = by(i) - ty(j)
+          sel.offerV(dx * dx + dy * dy)
+          dx = tx(i) - bx(j); dy = ty(i) - by(j)
+          sel.offerV(dx * dx + dy * dy)
         }
         j += 1
       }
-      horizontal(i) = meanOfSmallest3(hs)
-      vertical(i) = meanOfSmallest3(vs)
+      horizontal(i) = sel.sumSqrtH / 3.0
+      vertical(i) = sel.sumSqrtV / 3.0
       i += 1
     }
     (horizontal, vertical)
   }
 
-  private def meanOfSmallest3(l: java.util.ArrayList[Double]): Double = {
-    val arr = new Array[Double](l.size)
-    var k = 0
-    while (k < arr.length) { arr(k) = l.get(k); k += 1 }
-    java.util.Arrays.sort(arr)
-    var s = 0.0
-    var t = 0
-    while (t < 3 && t < arr.length) { s += arr(t); t += 1 }
-    s / 3.0
+  /** Streaming 3-smallest selector (sum of up to 3 smallest / 3, like the
+    * reference's `sum(sorted[:3])/3`). */
+  private final class Smallest3 {
+    private var h0, h1, h2 = Double.MaxValue
+    private var v0, v1, v2 = Double.MaxValue
+    private var hc, vc = 0
+    def resetH(): Unit = { h0 = Double.MaxValue; h1 = Double.MaxValue; h2 = Double.MaxValue; hc = 0 }
+    def resetV(): Unit = { v0 = Double.MaxValue; v1 = Double.MaxValue; v2 = Double.MaxValue; vc = 0 }
+    def offerH(d: Double): Unit = {
+      hc += 1
+      if (d < h2) { if (d < h1) { h2 = h1; if (d < h0) { h1 = h0; h0 = d } else h1 = d } else h2 = d }
+    }
+    def offerV(d: Double): Unit = {
+      vc += 1
+      if (d < v2) { if (d < v1) { v2 = v1; if (d < v0) { v1 = v0; v0 = d } else v1 = d } else v2 = d }
+    }
+    def sumSqrtH: Double = {
+      var s = 0.0
+      if (hc > 0 && h0 != Double.MaxValue) s += math.sqrt(h0)
+      if (hc > 1 && h1 != Double.MaxValue) s += math.sqrt(h1)
+      if (hc > 2 && h2 != Double.MaxValue) s += math.sqrt(h2)
+      s
+    }
+    def sumSqrtV: Double = {
+      var s = 0.0
+      if (vc > 0 && v0 != Double.MaxValue) s += math.sqrt(v0)
+      if (vc > 1 && v1 != Double.MaxValue) s += math.sqrt(v1)
+      if (vc > 2 && v2 != Double.MaxValue) s += math.sqrt(v2)
+      s
+    }
   }
 
   /** J4: the four k=1 NN links. Threshold inclusivity matches the
@@ -68,34 +107,52 @@ object Neighbors {
     val left = new Array[NLink](n)
     val top = new Array[NLink](n)
     val bottom = new Array[NLink](n)
+    val lx = new Array[Double](n); val ly = new Array[Double](n)
+    val rx = new Array[Double](n); val ry = new Array[Double](n)
+    val tx = new Array[Double](n); val ty = new Array[Double](n)
+    val bx = new Array[Double](n); val by = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      val b = boxes(k)
+      lx(k) = b.leftMid.x; ly(k) = b.leftMid.y
+      rx(k) = b.rightMid.x; ry(k) = b.rightMid.y
+      tx(k) = b.topMid.x; ty(k) = b.topMid.y
+      bx(k) = b.bottomMid.x; by(k) = b.bottomMid.y
+      k += 1
+    }
+    // squared-threshold comparisons (d <= x  <=>  d^2 <= x^2 for d,x >= 0)
+    val x2t = x * x
+    val y2t = y * y
     var i = 0
     while (i < n) {
-      val bi = boxes(i)
       var bestR, bestL, bestT, bestB = Double.MaxValue
       var idR, idL, idT, idB = -1
       var j = 0
       while (j < n) {
         if (i != j) {
-          val bj = boxes(j)
-          val dR = bi.leftMid.dist(bj.rightMid)
-          if (dR <= x && math.abs(bi.rightMid.y - bj.leftMid.y) < 20 && dR < bestR) {
+          var dx = lx(i) - rx(j); var dy = ly(i) - ry(j)
+          val dR = dx * dx + dy * dy
+          if (dR <= x2t && math.abs(ry(i) - ly(j)) < 20 && dR < bestR) {
             bestR = dR; idR = j
           }
-          val dL = bi.rightMid.dist(bj.leftMid)
-          if (dL < x && math.abs(bi.leftMid.y - bj.rightMid.y) < 20 && dL < bestL) {
+          dx = rx(i) - lx(j); dy = ry(i) - ly(j)
+          val dL = dx * dx + dy * dy
+          if (dL < x2t && math.abs(ly(i) - ry(j)) < 20 && dL < bestL) {
             bestL = dL; idL = j
           }
-          val dT = bi.bottomMid.dist(bj.topMid)
-          if (dT < y && dT < bestT) { bestT = dT; idT = j }
-          val dB = bi.topMid.dist(bj.bottomMid)
-          if (dB < y && dB < bestB) { bestB = dB; idB = j }
+          dx = bx(i) - tx(j); dy = by(i) - ty(j)
+          val dT = dx * dx + dy * dy
+          if (dT < y2t && dT < bestT) { bestT = dT; idT = j }
+          dx = tx(i) - bx(j); dy = ty(i) - by(j)
+          val dB = dx * dx + dy * dy
+          if (dB < y2t && dB < bestB) { bestB = dB; idB = j }
         }
         j += 1
       }
-      right(i) = if (idR >= 0) NLink(bestR, idR) else NLink.none
-      left(i) = if (idL >= 0) NLink(bestL, idL) else NLink.none
-      top(i) = if (idT >= 0) NLink(bestT, idT) else NLink.none
-      bottom(i) = if (idB >= 0) NLink(bestB, idB) else NLink.none
+      right(i) = if (idR >= 0) NLink(math.sqrt(bestR), idR) else NLink.none
+      left(i) = if (idL >= 0) NLink(math.sqrt(bestL), idL) else NLink.none
+      top(i) = if (idT >= 0) NLink(math.sqrt(bestT), idT) else NLink.none
+      bottom(i) = if (idB >= 0) NLink(math.sqrt(bestB), idB) else NLink.none
       i += 1
     }
     (right, left, top, bottom)

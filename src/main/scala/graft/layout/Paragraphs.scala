@@ -36,14 +36,17 @@ object Paragraphs {
     * midpoints are rounded half-even via Python's round() — replicated with
     * RoundingMode.HALF_EVEN. */
   def envelopes(components: Seq[Vector[Int]], words: IndexedSeq[Word]): Vector[Para] = {
-    val byId = words.map(w => w.id -> w.bbox).toMap
+    val maxId = if (words.isEmpty) 0 else words.iterator.map(_.id).max + 1
+    val isMember = new java.util.BitSet(maxId)
     components.zipWithIndex.map { case (members, count) =>
+      isMember.clear()
+      members.foreach(isMember.set)
       var l, t = Int.MaxValue
       var r, b = Int.MinValue
       // reference iterates the word table in id order, collecting the
       // rounded edge-midpoint coordinates of member boxes
-      for (w <- words if members.contains(w.id)) {
-        val box = byId(w.id)
+      for (w <- words if isMember.get(w.id)) {
+        val box = w.bbox
         val li = pyRound(box.leftMid.x)
         val ri = pyRound(box.rightMid.x)
         val ti = pyRound(box.topMid.y)
@@ -63,9 +66,9 @@ object Paragraphs {
     }.toVector
   }
 
-  /** Python 3 round(): banker's rounding. */
-  def pyRound(v: Double): Int =
-    java.math.BigDecimal.valueOf(v).setScale(0, java.math.RoundingMode.HALF_EVEN).intValue()
+  /** Python 3 round(): banker's rounding — Math.rint has exactly the
+    * round-half-even semantics, allocation-free. */
+  def pyRound(v: Double): Int = math.rint(v).toInt
 
   /** F5: margin filter — drop paragraphs in the header/footer band with
     * <10 members, or entirely inside the left/right gutter
@@ -88,21 +91,39 @@ object Paragraphs {
   def findClosestParagraphs(paras: IndexedSeq[Para]): Array[Double] = {
     val n = paras.length
     val out = new Array[Double](n)
+    // primitive midpoint arrays; 3-smallest kept via streaming selection
+    // (allocation-free O(n²), same value as the reference's sorted[:3]/3)
+    val txa = new Array[Double](n); val tya = new Array[Double](n)
+    val bxa = new Array[Double](n); val bya = new Array[Double](n)
+    var k = 0
+    while (k < n) {
+      txa(k) = paras(k).top.x; tya(k) = paras(k).top.y
+      bxa(k) = paras(k).bottom.x; bya(k) = paras(k).bottom.y
+      k += 1
+    }
     var i = 0
     while (i < n) {
-      val ds = ArrayBuffer.empty[Double]
-      val pi = paras(i)
+      var m0, m1, m2 = Double.MaxValue
+      var cnt = 0
+      def offer(d: Double): Unit = {
+        cnt += 1
+        if (d < m2) { if (d < m1) { m2 = m1; if (d < m0) { m1 = m0; m0 = d } else m1 = d } else m2 = d }
+      }
       var j = 0
       while (j < n) {
         if (i != j) {
-          val pj = paras(j)
-          ds += pi.bottom.dist(pj.top)
-          ds += pi.top.dist(pj.bottom)
+          var dx = bxa(i) - txa(j); var dy = bya(i) - tya(j)
+          offer(dx * dx + dy * dy)
+          dx = txa(i) - bxa(j); dy = tya(i) - bya(j)
+          offer(dx * dx + dy * dy)
         }
         j += 1
       }
-      val sorted = ds.sorted
-      out(i) = sorted.take(3).sum / 3.0
+      var s = 0.0
+      if (cnt > 0 && m0 != Double.MaxValue) s += math.sqrt(m0)
+      if (cnt > 1 && m1 != Double.MaxValue) s += math.sqrt(m1)
+      if (cnt > 2 && m2 != Double.MaxValue) s += math.sqrt(m2)
+      out(i) = s / 3.0
       i += 1
     }
     out
@@ -166,13 +187,19 @@ object Paragraphs {
     val smallIdx = paras.indices.filter(i => paras(i).members.length <= theta)
     if (smallIdx.isEmpty) return paras.toVector
 
+    // precomputed envelopes (pinp never mutates them) — no per-pair tuples
+    val x1 = paras.map(_.left.x).toArray
+    val y1 = paras.map(_.top.y).toArray
+    val x2 = paras.map(_.right.x).toArray
+    val y2 = paras.map(_.bottom.y).toArray
     for (i1 <- bigIdx) {
       val r1 = paras(i1)
       val absorbed = ArrayBuffer.empty[Vector[Int]]
       for (i2 <- smallIdx) {
         val r2 = paras(i2)
         if (!r2.merged) {
-          if (Geometry.isBoxInside(r1.tlbr, r2.tlbr, 85.0)) {
+          if (Geometry.isBoxInside8(x1(i1), y1(i1), x2(i1), y2(i1),
+                x1(i2), y1(i2), x2(i2), y2(i2), 85.0)) {
             absorbed += r2.members
             paras(i2) = r2.copy(merged = true)
           }
@@ -196,6 +223,10 @@ object Paragraphs {
     val original = paras0.map(_.copy(merged = false)).toVector
     val mergedLive = Array.fill(paras.length)(false)
 
+    val x1 = original.map(_.left.x).toArray
+    val y1 = original.map(_.top.y).toArray
+    val x2 = original.map(_.right.x).toArray
+    val y2 = original.map(_.bottom.y).toArray
     for (i1 <- paras.indices) {
       val r1 = original(i1)
       val absorbed = ArrayBuffer.empty[Vector[Int]]
@@ -203,7 +234,8 @@ object Paragraphs {
         for (i2 <- paras.indices) {
           val r2 = original(i2)
           if (i1 != i2 && !mergedLive(i2)) {
-            if (Geometry.isBoxInside(r1.tlbr, r2.tlbr, 10.0)) {
+            if (Geometry.isBoxInside8(x1(i1), y1(i1), x2(i1), y2(i1),
+                  x1(i2), y1(i2), x2(i2), y2(i2), 10.0)) {
               absorbed += r2.members
               mergedLive(i2) = true
               val t1 = r1.tlbr

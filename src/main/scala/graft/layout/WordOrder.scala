@@ -116,15 +116,15 @@ object WordOrder {
     val visited = Array.fill(words.length)(false)
     val regions = ArrayBuffer.empty[Region]
     var order = 0
-    def boxIdFromCoordinates(b: (Int, Int, Int, Int)): Int = {
-      var k = 0
-      while (k < words.length) {
-        val w = words(k).bbox
-        if (w.y == b._2 && w.x == b._1 && w.y2 == b._4 && w.x2 == b._3) return k
-        k += 1
-      }
-      -1
+    // first-match semantics of the reference's linear scan
+    // (new_read_order.py:6-15), precomputed as a first-wins hash index
+    val coordIndex = new java.util.HashMap[(Int, Int, Int, Int), Int](words.length * 2)
+    for (k <- words.indices) {
+      val w = words(k).bbox
+      coordIndex.putIfAbsent((w.x, w.y, w.x2, w.y2), k)
     }
+    def boxIdFromCoordinates(b: (Int, Int, Int, Int)): Int =
+      coordIndex.getOrDefault(b, -1)
     val byId = words.iterator.map(w => w.id -> w.bbox).toMap
     for (members <- components) {
       val coords = members.map { id =>

@@ -1,0 +1,102 @@
+package graft.mm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: media payloads
+  * are opaque `binary` columns with typed metadata travelling beside them.
+  *
+  * The CODEC layer is stubbed (no image/audio libraries in this sandbox):
+  * `decodeStub` derives deterministic pseudo-metadata from the bytes, and
+  * `featuresStub` a deterministic byte-histogram feature vector. The
+  * Spark-side contract is real and what matters at 100 TB: schema shape,
+  * per-partition batched iteration (one decoder instance per task, amortised
+  * over the partition — the mapInPandas batch pattern expressed as typed
+  * mapPartitions), size-bucketed repartition before decode, and column
+  * pruning so the binary column is only read where needed.
+  */
+object MultiModal {
+
+  final case class MediaMeta(
+      media_id: String,
+      n_bytes: Long,
+      format: String,     // sniffed container
+      width: Int,         // stub-decoded dimensions
+      height: Int,
+      frames: Int)
+
+  final case class MediaFeatures(media_id: String, features: Array[Float])
+
+  /** Container sniffing from magic bytes — real logic (no codec needed). */
+  def sniffFormat(bytes: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < bytes.length) bytes(i) & 0xff else -1
+    if (at(0) == 0xff && at(1) == 0xd8) "jpeg"
+    else if (at(0) == 0x89 && at(1) == 'P' && at(2) == 'N' && at(3) == 'G') "png"
+    else if (at(0) == 'R' && at(1) == 'I' && at(2) == 'F' && at(3) == 'F') "riff"
+    else if (at(0) == 'O' && at(1) == 'g' && at(2) == 'g' && at(3) == 'S') "ogg"
+    else if (at(4) == 'f' && at(5) == 't' && at(6) == 'y' && at(7) == 'p') "mp4"
+    else if (at(0) == '<') "html"
+    else "bin"
+  }
+
+  /** STUB decoder (???-equivalent): a real deployment would decode the
+    * container here; the sandbox derives deterministic dimensions from a
+    * 64-bit FNV of the payload so the pipeline shape is testable. */
+  def decodeStub(id: String, bytes: Array[Byte]): MediaMeta = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    val step = math.max(1, bytes.length / 1024) // sample at most ~1K bytes
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += step }
+    val w = 64 + ((h >>> 8) % 1857).toInt
+    val ht = 64 + ((h >>> 24) % 1017).toInt
+    MediaMeta(id, bytes.length.toLong, sniffFormat(bytes), w, ht,
+      frames = 1 + ((h >>> 40) % 240).toInt)
+  }
+
+  /** STUB feature extractor: 32-bin byte histogram, L1-normalised —
+    * deterministic stand-in for an embedding model. */
+  def featuresStub(id: String, bytes: Array[Byte]): MediaFeatures = {
+    val bins = new Array[Long](32)
+    var i = 0
+    while (i < bytes.length) { bins((bytes(i) & 0xff) >> 3) += 1; i += 1 }
+    val n = math.max(1L, bytes.length.toLong)
+    MediaFeatures(id, bins.map(b => (b.toDouble / n).toFloat))
+  }
+
+  /** Decode a media table (id + binary) with skew-aware partitioning: the
+    * binary column is the cost driver, so repartition on a log2 size
+    * bucket + salt before the per-partition decode loop. */
+  def decode(spark: SparkSession, media: DataFrame,
+             idCol: String = "media_id", binCol: String = "media",
+             saltBuckets: Int = 64): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select(col(idCol), col(binCol))
+      .withColumn("size_bucket",
+        ceil(log2(greatest(length(col(binCol)), lit(1)))).cast("int"))
+      .withColumn("salt", pmod(hash(col(idCol)), lit(saltBuckets)))
+      .repartition(col("size_bucket"), col("salt"))
+      .select(col(idCol), col(binCol))
+      .as[(String, Array[Byte])]
+      .mapPartitions { it =>
+        // one decoder instance per task (the batch-amortisation seam where
+        // a real codec would be initialised once)
+        it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Frame sampling plumbing for "video" payloads: deterministic stride
+    * over the stub frame count; emits (media_id, frame_index). */
+  def sampleFrames(spark: SparkSession, meta: Dataset[MediaMeta],
+                   everyN: Int): DataFrame = {
+    meta.toDF().select(col("media_id"),
+      explode(sequence(lit(0), greatest(col("frames") - 1, lit(0)), lit(everyN)))
+        .as("frame_index"))
+  }
+
+  def features(spark: SparkSession, media: DataFrame,
+               idCol: String = "media_id", binCol: String = "media"): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col(idCol), col(binCol)).as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => featuresStub(id, bytes) })
+  }
+}

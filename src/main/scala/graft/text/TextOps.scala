@@ -56,13 +56,18 @@ object TextOps {
   }
 
   /** MinHash signature: 8 independent 60-bit min-hashes over word
-    * 3-shingles (seeded by prefixing the shingle with "i:"). */
+    * 3-shingles (seeded by prefixing the shingle with "i:").
+    *
+    * Shape: explode → codegen'd md5/conv projections → grouped min.
+    * Hashing inside a higher-order `transform` lambda falls out of
+    * whole-stage codegen (interpreted per element, ~100× slower measured);
+    * the explode form keeps every hash in generated code. */
   def minhash(docs: DataFrame, nHashes: Int = 8): DataFrame = {
-    val sh = shingles(col("text"))
-    val cols = (0 until nHashes).map { i =>
-      array_min(transform(sh, s => md5Hash60(concat(lit(s"$i:"), s)))).as(s"h$i")
+    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val aggs = (0 until nHashes).map { i =>
+      min(md5Hash60(concat(lit(s"$i:"), col("s")))).as(s"h$i")
     }
-    docs.select(col("doc_id") +: cols: _*)
+    sh.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: docs sharing a MinHash band (bands of
@@ -85,17 +90,19 @@ object TextOps {
   }
 
   /** 16-bit SimHash over per-token 60-bit hashes (each occurrence votes
-    * ±1 per bit; bit set when the vote sum is positive). */
+    * ±1 per bit; bit set when the vote sum is positive). Explode + 16
+    * SUM(CASE) aggregates — fully codegen'd, map-side-combined. */
   def simhash(docs: DataFrame): DataFrame = {
-    val hs = transform(tokens(col("text")), t => md5Hash60(t))
-    val bitScores = (0 until 16).map { b =>
-      aggregate(hs, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .withColumn("h", md5Hash60(col("w")))
+    val bitAggs = (0 until 16).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
     }
-    val sim = bitScores.zipWithIndex.map { case (s, b) =>
-      when(s > 0, lit(1L << b)).otherwise(lit(0L))
+    val g = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
+    val sim = (0 until 16).map { b =>
+      when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
-    docs.select(col("doc_id"), sim.as("simhash"))
+    g.select(col("doc_id"), sim.as("simhash"))
   }
 
   /** N-gram Jaccard near-dup pairs: explode distinct 3-shingles, self-join
