@@ -91,6 +91,19 @@ object LayoutQueries {
     }
   }
 
+  /** F1/F2/F9: detector-side filter chain over a deterministic box set
+    * with synthetic confidences (pure function of geometry). */
+  def detectorFilters(url: String, html: Array[Byte]): (String, Int, Int, Int, Int) = {
+    val raw = blockBoxes(url, html).zipWithIndex.map { case (r, i) =>
+      // synthetic confidence in [-0.1, 0.9] derived from coordinates
+      r.copy(confidence = ((r.bbox.x * 31 + r.bbox.y * 17 + i) % 100) / 100.0 - 0.1)
+    }
+    val conf = Filters.confidenceFilter(raw)
+    val sized = Filters.sizeFilter(conf)
+    val capped = Filters.capDetections(sized, maxDet = 300)
+    (url, raw.length, conf.length, sized.length, capped.length)
+  }
+
   /** Projection-profile line segmentation over the pseudo-page ink
     * density (block boxes rasterised onto the y axis). */
   def projectionLines(url: String, html: Array[Byte]): (String, Int, Long) = {

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.jobs.{ExtractionJob, JobConfig}
+import graft.pages.PagesTable
+
+/** Scaling-efficiency harness (BASELINE.md protocol): runs the SAME
+  * extraction job on the SAME input at several local[N] parallelism
+  * levels inside ONE JVM, alternating levels across repetitions so JIT
+  * state and host noise affect all levels equally; reports the best run
+  * per level and the N→4N efficiency.
+  *
+  * Usage: runMain graft.ScalingBench [sfName] [levels,...] [reps]
+  *   default: sf0.1  4,16,8,32  2
+  */
+object ScalingBench {
+  def main(args: Array[String]): Unit = {
+    val sfName = args.headOption.getOrElse("sf0.1")
+    val levels = args.lift(1).getOrElse("4,16,8,32").split(",").map(_.trim.toInt).toSeq
+    val reps = args.lift(2).map(_.toInt).getOrElse(2)
+
+    def session(cpus: Int): SparkSession = {
+      val s = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", math.max(cpus * 2, 16))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+      s.sparkContext.setLogLevel("ERROR")
+      s
+    }
+
+    // materialise pages once
+    val boot = session(8)
+    val pagesPath = PagesTable.ensure(boot, sfName)
+    val nDocs = PagesTable.rowsFor(sfName)
+    boot.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    val best = scala.collection.mutable.Map.empty[Int, Double]
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+
+    for (rep <- 1 to reps; cpus <- levels) {
+      val spark = session(cpus)
+      import spark.implicits._
+      // warmup (JIT + page cache)
+      spark.read.parquet(pagesPath).select("url", "html")
+        .limit((nDocs / 20).toInt.max(500))
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (u, h) => graft.extract.Extractor.extract(u, h) })
+        .write.mode("overwrite").format("noop").save()
+
+      val out = java.nio.file.Files.createTempDirectory(s"scale$cpus").toString
+      val t0 = System.nanoTime()
+      ExtractionJob.run(spark, JobConfig(pagesPath, out, runId = s"r$rep-c$cpus"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      val dps = nDocs / sec
+      all += ((rep, cpus, dps))
+      if (dps > best.getOrElse(cpus, 0.0)) best(cpus) = dps
+      System.err.println(f"[scaling] rep=$rep cpus=$cpus%2d ${sec}%7.1f s  $dps%8.1f docs/s")
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      // clean up the temp output to keep the disk flat across reps
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(new java.io.File(out))
+    }
+
+    def eff(n: Int, n4: Int): Option[Double] =
+      for (a <- best.get(n); b <- best.get(n4)) yield b / a / 4.0
+    val pairs = Seq(4 -> 16, 8 -> 32).flatMap { case (n, n4) =>
+      eff(n, n4).map(e => s""""eff_${n}_to_$n4":${f"$e%.3f"}""")
+    }
+    val bests = best.toSeq.sortBy(_._1)
+      .map { case (c, d) => s""""docs_per_sec_$c":${f"$d%.1f"}""" }
+    println((bests ++ pairs ++ Seq(s""""docs":$nDocs"""))
+      .mkString("{", ",", "}"))
+  }
+}

@@ -142,6 +142,26 @@ object SparkEntry {
       pagesDf(s, d).select(col("url"),
         octet_length(unbase64(base64(col("html")))).as("n_bytes"))),
 
+    // ---- S5: sidecar-JSON source — serialise spans to JSON strings and
+    // parse them back with from_json (the reference's out.json reader) ---
+    "x7_sidecar_json" -> ((s, d) => {
+      val sidecar = extractedDf(s, d)
+        .select(col("url"), to_json(col("spans")).as("sidecar"))
+      val schema = "array<struct<kind:string,label:string,start:bigint,end:bigint,order:int,line:int>>"
+      sidecar.select(col("url"),
+        size(from_json(col("sidecar"), org.apache.spark.sql.types.DataType
+          .fromDDL(schema).asInstanceOf[org.apache.spark.sql.types.ArrayType]))
+          .as("n_regions"))
+    }),
+
+    // ---- F1/F2/F9: detector-side filters over jittered box sets --------
+    "l8_detector_filters" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .map { case (u, h) => LayoutQueries.detectorFilters(u, h) }
+        .toDF("url", "n_raw", "n_conf", "n_size", "n_capped")
+    }),
+
     // ---- exact median (A3) per language -------------------------------
     "t10_len_median" -> ((s, d) =>
       docs(s, d).groupBy("lang")
@@ -208,7 +228,7 @@ object SparkEntry {
       "x3_resume_antijoin" ->
         (s"SELECT url FROM $pages WHERE CAST(regexp_extract(url, 'articles/(\\d+)', 1) AS BIGINT) % 3 <> 0"),
       "x4_lang_metrics" ->
-        (s"SELECT lang, count(*) AS docs, sum(octet_length(html)) AS html_bytes FROM $pages GROUP BY lang"),
+        (s"SELECT lang, count(*) AS docs, CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes FROM $pages GROUP BY lang"),
       "x6_base64" ->
         (s"SELECT url, octet_length(html) AS n_bytes FROM $pages"),
       "t10_len_median" ->
@@ -258,7 +278,7 @@ object SparkEntry {
               ON l.vec_id <> r.vec_id)
             WHERE rank <= 5"""),
       "e3_label_counts" ->
-        "SELECT label, count(*) AS cnt, sum(vec_id) AS id_sum FROM embeddings GROUP BY label",
+        "SELECT label, count(*) AS cnt, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM embeddings GROUP BY label",
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
          "count(*) AS count_order FROM lineitem GROUP BY 1, 2"),

@@ -60,6 +60,16 @@ object Geometry {
     overlap / smallArea * 100.0 >= thresholdPct
   }
 
+  /** A9: grow a bbox by `padding` on all sides, clamped to the page
+    * bounds (reference: server/modules/main/post_helper.py:57-79). */
+  def padClamp(b: BBox, padding: Int, pageW: Int, pageH: Int): BBox = {
+    val x1 = math.max(0, b.x - padding)
+    val y1 = math.max(0, b.y - padding)
+    val x2 = math.min(pageW, b.x2 + padding)
+    val y2 = math.min(pageH, b.y2 + padding)
+    BBox.fromXyxy(x1, y1, x2, y2)
+  }
+
   /** Exact median, the reference's `calculate_median`: sort ascending, take
     * the middle element, or the mean of the two middles when even
     * (reference: routils/new_read_order.py:74-80). */

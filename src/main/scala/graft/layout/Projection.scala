@@ -45,6 +45,18 @@ object Projection {
     lineIndex.toVector
   }
 
+  /** A8: pixel-run dilate — expand a box's top/bottom edges outward
+    * while the profile still has ink there, the text-domain analogue of
+    * the reference's binarized edge-strip probe
+    * (reference: server/modules/main/post_helper.py:10-55). */
+  def dilate(box: graft.geom.BBox, hpp: IndexedSeq[Long]): graft.geom.BBox = {
+    var y1 = box.y
+    while (y1 > 0 && hpp(y1 - 1) > 0) y1 -= 1
+    var y2 = box.y2
+    while (y2 < hpp.length && hpp(math.min(y2, hpp.length - 1)) > 0 && y2 < hpp.length) y2 += 1
+    graft.geom.BBox(box.x, y1, box.w, y2 - y1)
+  }
+
   /** Full-width line boxes from the profile; lines shorter than 10 units
     * are dropped, `line` is 1-based (reference: v1urdu.py:77-96). */
   def segmentLines(hpp: IndexedSeq[Long], width: Int): Vector[Region] = {
