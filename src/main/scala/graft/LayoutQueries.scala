@@ -104,6 +104,19 @@ object LayoutQueries {
     (url, raw.length, conf.length, sized.length, capped.length)
   }
 
+  /** Table-structure recognition (iitb/table): per page, number of
+    * tables plus total rows/cells and the envelope area of all cell
+    * boxes — the DOM-side analogue of the reference's nrows/ncells/
+    * cellrows region fields. */
+  def tableStructure(url: String, html: Array[Byte]): (String, Int, Int, Int, Long) = {
+    val tables = graft.extract.Tables.tablesOf(Dom.parse(html))
+    val cellArea = tables.iterator
+      .flatMap(_.cellrows.valuesIterator.flatten)
+      .map(b => b.w.toLong * b.h.toLong).sum
+    (url, tables.length, tables.iterator.map(_.nrows).sum,
+      tables.iterator.map(_.ncells).sum, cellArea)
+  }
+
   /** Projection-profile line segmentation over the pseudo-page ink
     * density (block boxes rasterised onto the y axis). */
   def projectionLines(url: String, html: Array[Byte]): (String, Int, Long) = {

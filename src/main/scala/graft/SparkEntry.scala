@@ -162,6 +162,14 @@ object SparkEntry {
         .toDF("url", "n_raw", "n_conf", "n_size", "n_capped")
     }),
 
+    // ---- table structure (iitb/table): nrows/ncells/cellrows ----------
+    "l9_table_structure" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .map { case (u, h) => LayoutQueries.tableStructure(u, h) }
+        .toDF("url", "n_tables", "nrows", "ncells", "cell_area")
+    }),
+
     // ---- exact median (A3) per language -------------------------------
     "t10_len_median" -> ((s, d) =>
       docs(s, d).groupBy("lang")

@@ -40,28 +40,42 @@ final case class JobConfig(
   */
 object ExtractionJob {
 
-  /** Urls already committed to the extracted table, or None on first run. */
+  /** Urls already committed to the extracted table, or None on first run.
+    * Existence is probed through the Hadoop FileSystem of the path, so the
+    * same code works on hdfs:// and s3:// outputs, not just local disk. */
   def committedUrls(spark: SparkSession, cfg: JobConfig): Option[DataFrame] = {
-    val dir = new java.io.File(s"${cfg.outPath}/extracted")
-    if (dir.exists() && dir.listFiles() != null && dir.listFiles().exists(_.getName.endsWith(".parquet")))
-      Some(spark.read.parquet(s"${cfg.outPath}/extracted").select("url"))
+    val path = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/extracted")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(path) &&
+      fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
+    if (hasData) Some(spark.read.parquet(s"${cfg.outPath}/extracted").select("url"))
     else None
   }
 
-  /** The work set: pages minus committed (resume anti-join), salted. */
+  /** The work set: pages minus committed (resume anti-join), salted.
+    *
+    * With `saltBuckets <= 0` the explicit shuffle is skipped: the parquet
+    * scan's byte-sized splits are already cost-balanced when per-page cost
+    * is proportional to html bytes, and skipping the repartition avoids
+    * shuffling the full html payload (at 100 TB that shuffle IS the job).
+    * Keep salting on when the input layout clusters expensive pages
+    * (e.g. crawl-host-ordered files) or when resuming leaves a sparse,
+    * skewed remainder after the anti-join. */
   def planWorkSet(spark: SparkSession, cfg: JobConfig): DataFrame = {
     val pages = spark.read.parquet(cfg.pagesPath).select("url", "html")
     val remaining = committedUrls(spark, cfg) match {
       case Some(committed) => pages.join(committed, Seq("url"), "left_anti")
       case None            => pages
     }
-    // explicit skew spreading: bucket by log2 html size, salt by url hash
-    remaining
-      .withColumn("size_bucket",
-        ceil(log2(greatest(length(col("html")), lit(1)))).cast("int"))
-      .withColumn("salt", pmod(hash(col("url")), lit(cfg.saltBuckets)))
-      .repartition(col("size_bucket"), col("salt"))
-      .select("url", "html")
+    if (cfg.saltBuckets <= 0) remaining
+    else
+      // explicit skew spreading: bucket by log2 html size, salt by url hash
+      remaining
+        .withColumn("size_bucket",
+          ceil(log2(greatest(length(col("html")), lit(1)))).cast("int"))
+        .withColumn("salt", pmod(hash(col("url")), lit(cfg.saltBuckets)))
+        .repartition(col("size_bucket"), col("salt"))
+        .select("url", "html")
   }
 
   /** Run extraction; returns the extracted Dataset (not yet written). */
@@ -79,16 +93,23 @@ object ExtractionJob {
   }
 
   /** Full job: extract → append extracted parquet + append metrics rows.
-    * Metrics are gathered inside the same pass (one small row per task,
-    * written as JSON from the task — an append-only lineage table that an
-    * Iceberg deployment would append to a metrics table instead). */
+    *
+    * Lineage is gathered inside the same pass (one counter row per task,
+    * flushed after the partition is fully consumed) and reported through a
+    * collection accumulator, so it works on a real multi-executor cluster —
+    * executors have no shared filesystem to drop sidecar files on. The
+    * driver appends the rows to the metrics table after the write action;
+    * speculative/retried tasks may double-report through the accumulator,
+    * so rows are deduped by (run_id, partition_id) before the append.
+    *
+    * Returns the cumulative committed doc count, computed from the (tiny)
+    * metrics table rather than a full rescan of the extracted table — at
+    * 10^12 rows that rescan would dominate the incremental run itself. */
   def run(spark: SparkSession, cfg: JobConfig): Long = {
     import spark.implicits._
     val work = planWorkSet(spark, cfg)
-    val metricsDir = new java.io.File(s"${cfg.outPath}/metrics")
-    metricsDir.mkdirs()
-    val metricsPath = metricsDir.getAbsolutePath
     val runId = cfg.runId
+    val acc = spark.sparkContext.collectionAccumulator[PartitionMetrics]("graft.partitionMetrics")
 
     val extracted: Dataset[Extracted] =
       work.as[(String, Array[Byte])].mapPartitions { it =>
@@ -107,7 +128,7 @@ object ExtractionJob {
               Extracted(url, "", Array.empty, Array.empty)
           }
         }
-        // wrap so metrics flush after the partition is fully consumed
+        // wrap so the counter row flushes after the partition is consumed
         new Iterator[Extracted] {
           def hasNext: Boolean = {
             val h = out.hasNext
@@ -119,26 +140,30 @@ object ExtractionJob {
           private def flush(): Unit = if (!flushed) {
             flushed = true
             val wallMs = (System.nanoTime() - t0) / 1000000
-            val json =
-              s"""{"run_id":"$runId","partition_id":$pid,"docs_parsed":$docs,""" +
-              s""""bytes_tokenized":$bytes,"extraction_failures":$failures,"wall_ms":$wallMs}"""
-            val f = new java.io.File(metricsPath, s"metrics-$runId-$pid.json")
-            val w = new java.io.FileWriter(f)
-            try w.write(json + "\n") finally w.close()
+            acc.add(PartitionMetrics(runId, pid, docs, bytes, failures, wallMs))
           }
         }
       }
 
     extracted.write.mode(SaveMode.Append).parquet(s"${cfg.outPath}/extracted")
-    spark.read.parquet(s"${cfg.outPath}/extracted").count()
+
+    import scala.jdk.CollectionConverters._
+    val rows = acc.value.asScala.toSeq
+      .groupBy(m => (m.run_id, m.partition_id)).map(_._2.head).toSeq
+    if (rows.nonEmpty)
+      spark.createDataset(rows).write.mode(SaveMode.Append)
+        .parquet(s"${cfg.outPath}/metrics")
+
+    val metricsPath = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/metrics")
+    val fs = metricsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(metricsPath)) 0L
+    else readMetrics(spark, cfg)
+      .agg(coalesce(sum(col("docs_parsed")), lit(0L))).as[Long].head()
   }
 
   /** Read the lineage rows back as a typed Dataset. */
   def readMetrics(spark: SparkSession, cfg: JobConfig): Dataset[PartitionMetrics] = {
     import spark.implicits._
-    spark.read.json(s"${cfg.outPath}/metrics").selectExpr(
-      "run_id", "cast(partition_id as int) partition_id", "docs_parsed",
-      "bytes_tokenized", "extraction_failures", "wall_ms"
-    ).as[PartitionMetrics]
+    spark.read.parquet(s"${cfg.outPath}/metrics").as[PartitionMetrics]
   }
 }

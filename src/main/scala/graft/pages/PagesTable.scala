@@ -17,6 +17,7 @@ object PagesTable {
     case "sf0.001" => 200L
     case "sf0.01"  => 2000L
     case "sf0.1"   => 100000L
+    case "sf0.3"   => 300000L
     case _         => 2000L
   }
 
@@ -37,7 +38,10 @@ object PagesTable {
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) {
       val n = rowsFor(sfName)
-      val parts = math.max(1, math.min(32, n / 100)).toInt
+      // many small-ish files: the scan then yields several task waves per
+      // core at any local[N], so stragglers amortise (one-wave scans are
+      // gated by their slowest task and measure skew, not throughput)
+      val parts = math.max(1, math.min(192, n / 100)).toInt
       generate(spark, Seed, n, parts)
         .write.mode(SaveMode.Overwrite).parquet(dir)
     }

@@ -69,4 +69,14 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"scan must read only url+html:\n$plan")
     assert(plan.toLowerCase.contains("exchange"), "salted repartition present")
   }
+
+  test("saltBuckets=0 plans a shuffle-free scan (byte-balanced splits)") {
+    val pagesPath = s"$tmp/pages"
+    val plan = ExtractionJob.planWorkSet(
+        spark, JobConfig(pagesPath, s"$tmp/out3", saltBuckets = 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<url:string,html:binary>"))
+    assert(!plan.toLowerCase.contains("exchange"),
+      s"no-salt plan must not shuffle the html payload:\n$plan")
+  }
 }
