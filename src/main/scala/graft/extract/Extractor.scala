@@ -97,9 +97,25 @@ object Extractor {
   }
 
   private def classTokensOf(dom: Dom, node: Int): Set[String] = {
-    val raw = (dom.attr(node, "class").getOrElse("") + " " +
-               dom.attr(node, "id").getOrElse("")).toLowerCase
-    raw.split("[^a-z0-9]+").iterator.filter(_.nonEmpty).toSet
+    val cls = dom.attr(node, "class")
+    val id = dom.attr(node, "id")
+    if (cls.isEmpty && id.isEmpty) Set.empty
+    else {
+      // split on non-[a-z0-9] runs without the regex machinery — this runs
+      // for every element node and was a measurable allocation source
+      val raw = (cls.getOrElse("") + " " + id.getOrElse("")).toLowerCase
+      var out = Set.empty[String]
+      var i = 0
+      val n = raw.length
+      @inline def alnum(c: Char) = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      while (i < n) {
+        while (i < n && !alnum(raw.charAt(i))) i += 1
+        val st = i
+        while (i < n && alnum(raw.charAt(i))) i += 1
+        if (i > st) out += raw.substring(st, i)
+      }
+      out
+    }
   }
 
   /** DOM → candidate blocks, document order. */
@@ -137,12 +153,12 @@ object Extractor {
             val sub = new Ctx(tag,
               ctx.classTokens ++ classTokensOf(dom, node),
               ctx.ancestorTags + ctx.tag)
-            dom.children(node).foreach(walk(_, sub, inLink))
+            dom.foreachChild(node)(walk(_, sub, inLink))
             flush(sub)
           } else {
             if (tag == "br") ctx.sb.append(' ')
             val link = inLink || tag == "a"
-            dom.children(node).foreach(walk(_, ctx, link))
+            dom.foreachChild(node)(walk(_, ctx, link))
           }
         }
       }

@@ -59,7 +59,7 @@ object Tables {
 
   /** `<tr>` descendants of `table`, not descending into nested tables. */
   private def collectRows(dom: Dom, node: Int, out: ArrayBuffer[Int]): Unit =
-    dom.children(node).foreach { c =>
+    dom.foreachChild(node) { c =>
       dom.tag(c) match {
         case "tr"                        => out += c
         case "table"                     => () // nested: its own struct
@@ -70,7 +70,7 @@ object Tables {
 
   /** `<td>`/`<th>` descendants of a row, not crossing nested tables/rows. */
   private def collectCells(dom: Dom, node: Int, out: ArrayBuffer[Int]): Unit =
-    dom.children(node).foreach { c =>
+    dom.foreachChild(node) { c =>
       dom.tag(c) match {
         case "td" | "th"                 => out += c
         case "table" | "tr"              => ()

@@ -57,13 +57,13 @@ object TextAttributes {
             flush()
             val saved = curTag
             curTag = tag
-            dom.children(node).foreach(walk(_, inBold, inItalic))
+            dom.foreachChild(node)(walk(_, inBold, inItalic))
             flush()
             curTag = saved
           } else {
             val b = inBold || boldTags.contains(tag)
             val i = inItalic || italicTags.contains(tag)
-            dom.children(node).foreach(walk(_, b, i))
+            dom.foreachChild(node)(walk(_, b, i))
           }
         }
       }

@@ -22,26 +22,47 @@ object Kde {
 
   private def variance(data: Array[Double]): Double = {
     val n = data.length
-    val mean = data.sum / n
-    data.map(d => (d - mean) * (d - mean)).sum / (n - 1)
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += data(i); i += 1 }
+    val mean = sum / n
+    var acc = 0.0
+    i = 0
+    while (i < n) { val d = data(i) - mean; acc += d * d; i += 1 }
+    acc / (n - 1)
   }
 
-  /** Density curve on the linspace grid; returns (grid, densities). */
-  private def densityCurve(data: Array[Double], factor: Double): (Array[Double], Array[Double]) = {
+  /** Density curve on the linspace grid. The grid itself is affine in the
+    * index (x_g = lo + g·step), so only the densities are materialised —
+    * this function and its callers are the extraction hot path (2-3 KDE
+    * estimates per page at 1000 grid points × n samples each) and must
+    * stay free of boxing. */
+  private def densityCurve(data: Array[Double], factor: Double): Array[Double] = {
     val n = data.length
     val bw2 = factor * factor * variance(data)
     val lo = data.min
     val hi = data.max
     val step = (hi - lo) / (GRID - 1)
     val norm = 1.0 / (n * math.sqrt(2.0 * math.Pi * bw2))
-    val xs = Array.tabulate(GRID)(i => lo + i * step)
-    val ys = xs.map { x =>
+    val inv2bw2 = 1.0 / (2.0 * bw2)
+    val ys = new Array[Double](GRID)
+    var g = 0
+    while (g < GRID) {
+      val x = lo + g * step
       var acc = 0.0
       var i = 0
-      while (i < n) { val d = x - data(i); acc += math.exp(-d * d / (2.0 * bw2)); i += 1 }
-      acc * norm
+      while (i < n) { val d = x - data(i); acc += math.exp(-d * d * inv2bw2); i += 1 }
+      ys(g) = acc * norm
+      g += 1
     }
-    (xs, ys)
+    ys
+  }
+
+  /** x-coordinate of grid index g for the same linspace. */
+  private def gridX(data: Array[Double], g: Int): Double = {
+    val lo = data.min
+    val step = (data.max - lo) / (GRID - 1)
+    lo + g * step
   }
 
   private def firstArgmax(ys: Array[Double]): Int = {
@@ -69,8 +90,8 @@ object Kde {
   private def withFactor(data: Array[Double], factor: Double): Int = {
     if (data.isEmpty) return 0
     if (degenerate(data)) return math.ceil(data.max).toInt
-    val (xs, ys) = densityCurve(data, factor)
-    math.ceil(xs(firstArgmax(ys))).toInt
+    val ys = densityCurve(data, factor)
+    math.ceil(gridX(data, firstArgmax(ys))).toInt
   }
 
   /** Paragraph-threshold variant: Scott-like bandwidth, then the
@@ -85,7 +106,7 @@ object Kde {
     if (data.isEmpty) return 0
     if (degenerate(data)) return math.ceil(data.max).toInt
     val factor = math.pow(data.length.toDouble, -1.0 / 5.0)
-    val (xs, ys) = densityCurve(data, factor)
+    val ys = densityCurve(data, factor)
     val peaks = findPeaks(ys)
     val idx =
       if (peaks.isEmpty) firstArgmax(ys)
@@ -96,7 +117,7 @@ object Kde {
         val byHeightDesc = peaks.sortBy(p => (-ys(p), -p))
         byHeightDesc(1)
       }
-    math.ceil(xs(idx)).toInt
+    math.ceil(gridX(data, idx)).toInt
   }
 
   /** scipy.signal.find_peaks default local-maxima scan

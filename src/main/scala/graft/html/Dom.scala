@@ -25,6 +25,13 @@ final class Dom private (
     def next(): Int = { val c = cur; cur = nextSibling(c); c }
   }
 
+  /** Allocation-free child traversal (Function1[Int, Unit] is specialized;
+    * the Iterator version boxes each id) — use in per-page hot paths. */
+  def foreachChild(i: Int)(f: Int => Unit): Unit = {
+    var c = firstChild(i)
+    while (c >= 0) { f(c); c = nextSibling(c) }
+  }
+
   def attr(i: Int, name: String): Option[String] =
     attrs(i).collectFirst { case (n, v) if n == name => v }
 
@@ -37,6 +44,22 @@ final class Dom private (
 }
 
 object Dom {
+  /** Growable primitive int array — ArrayBuffer[Int] boxes every element
+    * past the Integer cache, and the DOM builder appends four ints per
+    * node; this keeps the arena build allocation-flat. */
+  private final class IntBuf(hint: Int) {
+    private var a = new Array[Int](math.max(hint, 16))
+    private var n = 0
+    def length: Int = n
+    def apply(i: Int): Int = a(i)
+    def update(i: Int, v: Int): Unit = a(i) = v
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(n) = v; n += 1
+    }
+    def toArray: Array[Int] = java.util.Arrays.copyOf(a, n)
+  }
+
   /** Void elements never get children (HTML5 spec list). */
   private val voidTags = Set(
     "area", "base", "br", "col", "embed", "hr", "img", "input", "link",
@@ -63,13 +86,16 @@ object Dom {
     * input: stray end tags are ignored unless a matching ancestor is open,
     * in which case everything above it is popped. */
   def parse(bytes: Array[Byte]): Dom = {
-    val tag = ArrayBuffer[String]("#root")
-    val text = ArrayBuffer[String]("")
-    val attrs = ArrayBuffer[List[(String, String)]](Nil)
-    val parent = ArrayBuffer[Int](-1)
-    val firstChild = ArrayBuffer[Int](-1)
-    val nextSibling = ArrayBuffer[Int](-1)
-    val lastChild = ArrayBuffer[Int](-1)
+    // presize the arena: ~1 node per 40 bytes of html is a safe upper
+    // estimate, so the buffers grow at most once instead of log2(n) times
+    val hint = math.max(16, bytes.length / 40)
+    val tag = new ArrayBuffer[String](hint); tag += "#root"
+    val text = new ArrayBuffer[String](hint); text += ""
+    val attrs = new ArrayBuffer[List[(String, String)]](hint); attrs += Nil
+    val parent = new IntBuf(hint); parent.add(-1)
+    val firstChild = new IntBuf(hint); firstChild.add(-1)
+    val nextSibling = new IntBuf(hint); nextSibling.add(-1)
+    val lastChild = new IntBuf(hint); lastChild.add(-1)
 
     // open-element stack of node indices
     var stack = List(0)
@@ -78,7 +104,7 @@ object Dom {
       val id = tag.length
       val par = stack.head
       tag += t; text += txt; attrs += as
-      parent += par; firstChild += -1; nextSibling += -1; lastChild += -1
+      parent.add(par); firstChild.add(-1); nextSibling.add(-1); lastChild.add(-1)
       if (firstChild(par) < 0) firstChild(par) = id
       else nextSibling(lastChild(par)) = id
       lastChild(par) = id
