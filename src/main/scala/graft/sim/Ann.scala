@@ -36,9 +36,10 @@ object Ann {
       .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("rank"))
   }
 
-  /** IVF cell assignment: nearest of the C centroids (the vectors with
-    * the C smallest vec_ids — deterministic, data-derived seeds). */
-  def ivfAssign(emb: DataFrame, cells: Int): DataFrame = {
+  /** IVF cell ranking: for every vector, its `nprobe` nearest of the C
+    * centroids (the vectors with the C smallest vec_ids — deterministic,
+    * data-derived seeds), rank 1 being the home cell. */
+  def ivfAssign(emb: DataFrame, cells: Int, nprobe: Int = 1): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
     val centroids = v.orderBy(col("vec_id")).limit(cells)
       .select(col("vec_id").as("cell"), col("e").as("c"))
@@ -47,16 +48,22 @@ object Ann {
       .withColumn("d", dot(col("e"), col("c")) /
         (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("c"), col("c")))) * -1)
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= nprobe)
       .select(col("vec_id"), col("cell"), col("e"))
   }
 
-  /** Approximate top-k: exact ranking within each IVF cell. */
-  def ivfKnn(emb: DataFrame, k: Int, cells: Int = 16): DataFrame = {
-    val assigned = ivfAssign(emb, cells)
+  /** Approximate top-k, classic IVF shape: the INDEX side holds each
+    * vector once (home cell); the QUERY side probes its `nprobe` nearest
+    * cells and ranks exactly within the probed candidates. Recall rises
+    * with nprobe at linear cost; C partition-local joins replace the
+    * quadratic cross join of [[cosineKnn]]. */
+  def ivfKnn(emb: DataFrame, k: Int, cells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val home = ivfAssign(emb, cells, nprobe = 1)
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
-    val l = assigned.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"), col("norm").as("na"))
-    val r = assigned.select(col("cell").as("cellr"), col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nb"))
+    val probes = ivfAssign(emb, cells, nprobe)
+    val l = probes.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"),
+      sqrt(dot(col("e"), col("e"))).as("na"))
+    val r = home.select(col("cell").as("cellr"), col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nb"))
     val sims = l.join(r, col("cell") === col("cellr") && col("a") =!= col("b"))
       .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
     val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)

@@ -1,0 +1,87 @@
+package graft.sim
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Similarity-search correctness: the relational cosine top-k against an
+  * in-memory brute-force oracle, and the IVF approximation's recall
+  * against the exact ranking (deterministic input → stable recall). */
+class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def loadVecs(): Map[Long, Array[Double]] =
+    spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).iterator.map(_.toDouble).toArray
+      }.toMap
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  private def bruteTopK(vecs: Map[Long, Array[Double]], k: Int): Map[Long, Seq[Long]] =
+    vecs.map { case (id, v) =>
+      id -> vecs.iterator.filter(_._1 != id)
+        .map { case (oid, ov) => (oid, cosine(v, ov)) }.toSeq
+        .sortBy { case (oid, sim) => (-sim, oid) }.take(k).map(_._1)
+    }
+
+  test("exact cosine top-k matches an independent brute-force oracle") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Ann.cosineKnn(emb, k = 5).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) => id -> rows.sortBy(_.getInt(2)).map(_.getLong(1)).toSeq }
+    val oracle = bruteTopK(loadVecs(), 5)
+    assert(got.keySet == oracle.keySet)
+    val mismatched = got.count { case (id, nbrs) => oracle(id) != nbrs }
+    assert(mismatched == 0, s"$mismatched of ${got.size} neighbour lists differ from brute force")
+  }
+
+  test("IVF recall@5 beats random candidate selection by >=1.6x") {
+    // The synthetic embeddings are near-uniform (intra-label cosine ~0.02),
+    // the adversarial case for any ANN index: no index can reach high
+    // recall at low coverage there. The correct property is that probing
+    // nprobe/cells of the space concentrates true neighbours well above
+    // the coverage fraction (random candidate selection's expected recall).
+    val cells = 16
+    val nprobe = 4
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Ann.cosineKnn(emb, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.ivfKnn(emb, k = 5, cells, nprobe).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.iterator.map { case (id, nbrs) =>
+      (nbrs intersect approx.getOrElse(id, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    val coverage = nprobe.toDouble / cells
+    info(f"IVF recall@5 = $recall%.3f at coverage $coverage%.2f")
+    assert(recall >= 1.6 * coverage,
+      f"IVF no better than random candidates: recall $recall%.3f vs coverage $coverage%.2f")
+  }
+
+  test("near-duplicate pairs are symmetric-free and above threshold") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val pairs = Ann.cosineDupPairs(emb, threshold = 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.forall { case (a, b) => a < b }, "each pair reported once, a < b")
+    val vecs = loadVecs()
+    pairs.foreach { case (a, b) =>
+      assert(cosine(vecs(a), vecs(b)) >= 0.95)
+    }
+  }
+}
