@@ -1,0 +1,92 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Local unit coverage for the dedup/minhash/simhash family on a
+  * hand-checkable corpus (the driver's DuckDB oracle covers the same ops
+  * at sf scale; these pin the semantics with known answers). */
+class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups byte-identical texts, keeps the min id") {
+    val d = docs(1L -> "the quick brown fox", 2L -> "something else",
+      3L -> "the quick brown fox")
+    val groups = TextOps.dedupExact(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(groups.toSeq == Seq((1L, 2L), (2L, 1L)))
+  }
+
+  test("prefix dedup keys on the first five tokens only") {
+    val d = docs(
+      1L -> "a b c d e SUFFIX-ONE trailing text",
+      2L -> "a b c d e completely different tail",
+      3L -> "x y z q w same length different head")
+    val groups = TextOps.dedupPrefix(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sorted
+    assert(groups.toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("tokenCounts and quality are whitespace-exact") {
+    val d = docs(1L -> "  one   two two  three ")
+    val t = TextOps.tokenCounts(d).collect().head
+    assert((t.getInt(1), t.getInt(2)) == (4, 23))
+    val q = TextOps.quality(d).collect().head
+    assert((q.getInt(1), q.getInt(2), q.getInt(3)) == (4, 3, 14))
+  }
+
+  test("fingerprint is invariant to whitespace layout") {
+    val d = docs(1L -> "alpha beta  gamma", 2L -> "  alpha   beta gamma ",
+      3L -> "alpha beta gamma delta")
+    val fps = TextOps.fingerprint(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(2L))
+    assert(fps(1L) != fps(3L))
+  }
+
+  test("minhash: identical docs share full signatures; LSH pairs find them") {
+    val same = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val d = docs(1L -> same, 2L -> same, 3L -> "totally unrelated words here now then")
+    val sig = TextOps.minhash(d).collect().map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(3L))
+    val pairs = TextOps.minhashPairs(d).collect().map(r => (r.getLong(0), r.getLong(1))).distinct
+    assert(pairs.forall(_ == (1L, 2L)), s"only the duplicate pair may surface: ${pairs.toSeq}")
+    assert(pairs.nonEmpty)
+  }
+
+  test("simhash: identical texts collide, disjoint vocabularies differ") {
+    val d = docs(1L -> "spark catalyst tungsten codegen shuffle",
+      2L -> "spark catalyst tungsten codegen shuffle",
+      3L -> "entirely different vocabulary in this document")
+    val s = TextOps.simhash(d).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(3L))
+    assert(s.values.forall(v => v >= 0 && v < (1L << 16)))
+  }
+
+  test("jaccard pairs: integer-exact intersection and union") {
+    // doc1 shingles: {a b c, b c d, c d e}; doc2: {a b c, b c d, c d X}
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d X", 3L -> "p q r s t")
+    val rows = TextOps.jaccardPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.toSeq == Seq((1L, 2L, 2L, 4L))) // inter=2, union=4, 2*10 >= 4*3
+  }
+}
