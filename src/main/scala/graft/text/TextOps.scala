@@ -107,10 +107,26 @@ object TextOps {
 
   /** N-gram Jaccard near-dup pairs: explode distinct 3-shingles, self-join
     * on shingle, jaccard = inter / (|A|+|B|-inter); emitted when
-    * 10·inter ≥ 3·union (≥ 0.3), integer-exact. */
-  def jaccardPairs(docs: DataFrame): DataFrame = {
-    val sh = docs.select(col("doc_id"),
+    * 10·inter ≥ 3·union (≥ 0.3), integer-exact.
+    *
+    * `maxDf` is the scale guard: a shingle occurring in d documents emits
+    * d² join rows, so one ubiquitous phrase ("click here to subscribe")
+    * turns the self-join quadratic at corpus scale. Dropping shingles
+    * above a document-frequency cap bounds the per-key fanout at maxDf²
+    * while leaving near-duplicate pairs intact (a pair at ≥0.3 jaccard
+    * shares many shingles; losing its few ubiquitous ones barely moves
+    * the estimate). Disabled by default (exact semantics, oracle-matched);
+    * set a few hundred for corpus-scale runs. */
+  def jaccardPairs(docs: DataFrame, maxDf: Long = 0L): DataFrame = {
+    val all = docs.select(col("doc_id"),
       explode(array_distinct(shingles(col("text")))).as("s"))
+    val sh =
+      if (maxDf <= 0) all
+      else {
+        val rare = all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("s")
+        all.join(rare, "s")
+      }
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = sh.as("l").join(sh.as("r"),
         col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))

@@ -1,0 +1,55 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Language-ID accuracy. The driver's `documents.lang` column is a label
+  * uncorrelated with its (English-ish synthetic) text, so ground truth
+  * comes from the generated pages table, whose content vocabulary IS
+  * language-dependent (PageGen.vocabOf). */
+class LangIdSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("stopword profiles recover the generator's language on extracted text") {
+    val s = spark
+    import s.implicits._
+    val pages = graft.pages.PageGen.pages(7L, 0, 400)
+      .map(p => (p.url, p.text, p.lang)).toVector
+    val docs = pages.toDF("doc_id", "text", "lang")
+    val known = LangId.profiles.map(_._1).toSet
+    val scored = docs.filter(col("lang").isin(known.toSeq.map(x => x: Any): _*))
+    val total = scored.count()
+    assert(total > 100, s"generator should emit profiled languages, got $total")
+    val hits = LangId.predict(scored).join(scored.select("doc_id", "lang"), "doc_id")
+      .filter(col("pred_lang") === col("lang")).count()
+    val acc = hits.toDouble / total
+    info(f"accuracy = $acc%.3f over $total pages")
+    assert(acc >= 0.9, f"language-id accuracy regressed: $acc%.3f")
+  }
+
+  test("unambiguous stopword-dense snippets classify exactly") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "the cat is in the house and it is warm for now with food"),
+      (2L, "der hund ist nicht mit der katze und das ist für dass auf"),
+      (3L, "le chat est dans la maison pour que les amis et une des"),
+      (4L, "el perro es en la casa para que los gatos una con las")
+    ).toDF("doc_id", "text")
+    val got = LangId.predict(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
+  }
+}

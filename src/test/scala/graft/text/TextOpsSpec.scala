@@ -89,4 +89,18 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(rows.toSeq == Seq((1L, 2L, 2L, 4L))) // inter=2, union=4, 2*10 >= 4*3
   }
+
+  test("jaccard maxDf guard drops ubiquitous shingles but keeps near-dups") {
+    // "z z z" appears in every doc (the stop-shingle); docs 1/2 are
+    // near-identical beyond it, doc 3 unrelated.
+    val d = docs(
+      1L -> "z z z a b c d e",
+      2L -> "z z z a b c d X",
+      3L -> "z z z p q r s t",
+      4L -> "z z z m n o p q")
+    val capped = TextOps.jaccardPairs(d, maxDf = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSeq.contains((1L, 2L)), "true near-dup must survive the cap")
+    assert(!capped.exists { case (a, b) => (a, b) == (3L, 4L) })
+  }
 }
