@@ -5,18 +5,23 @@ import org.apache.spark.sql.functions._
 import graft.extract.Extractor
 import graft.pages.PagesTable
 import graft.sim.Ann
-import graft.text.{LangId, TextOps}
+import graft.text.{LangId, ScriptId, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator family
   * (SURVEY.md §2), each with DuckDB oracle SQL where the semantics are
-  * SQL-expressible; per-page layout operators get rows-only checks.
+  * SQL-expressible; purely per-page layout operators whose expectation is
+  * not generator-derivable (ensemble merges over jittered boxes, column
+  * grouping) get rows-only checks and are covered instead by
+  * reference-executed goldens under `sbt test`.
   *
   * The `pages` table (BASELINE.json input_hint shape) is synthesised
   * deterministically (PageGen, seed 42) and materialised under
-  * /root/repo/data/pages/<sf>/ so the DuckDB oracle can read the very
+  * /root/repo/data/pages_v2/<sf>/ so the DuckDB oracle can read the very
   * same parquet; `pages.text` carries the generator's golden extraction,
   * so `x1_extract_text` is a true byte-identity check of the extractor
-  * through the driver's hash compare.
+  * through the driver's hash compare. Golden sidecar tables
+  * (`<sf>_spans`, `<sf>_meta`) carry the generator-derived span/attribute
+  * expectations for the layout family oracles.
   */
 object SparkEntry {
 
@@ -68,14 +73,25 @@ object SparkEntry {
         explode(col("spans")).as("s"))
         .select(col("url"), col("s.kind").as("kind"), col("s.label").as("label"),
           col("s.start").as("start"), col("s.end").as("end"),
-          col("s.order").as("ord"), col("s.line").as("line"))),
+          col("s.line").as("line"))),
 
-    // ---- per-page layout operators (rows-only checks) -------------------
+    // ---- per-page layout operators --------------------------------------
     "l1_reading_order" -> ((s, d) =>
       extractedDf(s, d).select(col("url"), explode(col("blocks")).as("b"))
-        .select(col("url"), col("b.label").as("label"), col("b.order").as("ord"),
+        .select(col("url"), col("b.label").as("label"),
           col("b.line").as("line"), col("b.x").as("x"), col("b.y").as("y"),
           col("b.w").as("w"), col("b.h").as("h"))),
+
+    // reading-order permutation invariant: per url the emitted orders are
+    // exactly {1..n} — sum/min/max/distinct checked against the golden n
+    "l1b_order_perm" -> ((s, d) =>
+      extractedDf(s, d).select(col("url"), explode(col("blocks")).as("b"))
+        .groupBy("url").agg(
+          count(lit(1)).as("n_blocks"),
+          sum(col("b.order")).as("ord_sum"),
+          min(col("b.order")).as("ord_min"),
+          max(col("b.order")).as("ord_max"),
+          countDistinct(col("b.order")).as("n_ord_distinct"))),
 
     "l2_merge_ensemble" -> ((s, d) => {
       import s.implicits._
@@ -115,8 +131,9 @@ object SparkEntry {
     "l7_text_attributes" -> ((s, d) => {
       import s.implicits._
       pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
-        .flatMap { case (u, h) => LayoutQueries.textAttributes(u, h) }
-        .toDF("url", "block_idx", "tag", "chars", "bold_chars", "italic_chars")
+        .map { case (u, h) => LayoutQueries.textAttrTotals(u, h) }
+        .toDF("url", "chars", "bold_chars", "italic_chars",
+          "underline_chars", "strike_chars", "heading_chars")
     }),
 
     // ---- multimodal plumbing (html bytes stand in for media payloads) ---
@@ -131,10 +148,13 @@ object SparkEntry {
     }),
 
     "m3_media_features" -> ((s, d) => {
-      val media = pagesDf(s, d).select(col("url").as("media_id"), col("html").as("media"))
-      graft.mm.MultiModal.features(s, media).toDF()
-        .select(col("media_id"), round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
-          round(element_at(col("features"), 2).cast("double"), 4).as("f1"))
+      import s.implicits._
+      pagesDf(s, d).select(col("url"), col("html")).as[(String, Array[Byte])]
+        .map { case (id, bytes) =>
+          val bins = graft.mm.MultiModal.featureCounts(bytes)
+          (id, bins(7), bins(12), bins(13))
+        }
+        .toDF("media_id", "f7", "f12", "f13")
     }),
 
     // ---- scalar shell: base64 source (S3) round-trip -------------------
@@ -186,6 +206,8 @@ object SparkEntry {
     "t7_jaccard_pairs" -> ((s, d) => TextOps.jaccardPairs(docs(s, d))),
     "t8_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "t9_langid" -> ((s, d) => LangId.predict(docs(s, d))),
+    "t11_lsh_pairs" -> ((s, d) => TextOps.minhashPairs(docs(s, d))),
+    "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
@@ -193,6 +215,7 @@ object SparkEntry {
     "e3_label_counts" -> ((s, d) =>
       emb(s, d).groupBy("label").agg(
         count(lit(1)).as("cnt"), sum(col("vec_id")).as("id_sum"))),
+    "e4_cosine_dups" -> ((s, d) => Ann.cosineDupPairs(emb(s, d), threshold = 0.9)),
 
     // ---- relational shell (TPC-H-ish) -----------------------------------
     "q1_agg" -> ((s, d) =>
@@ -219,9 +242,13 @@ object SparkEntry {
   )
 
   /** DuckDB oracle SQL (driver runs at sf0.01 with tables registered from
-    * the same dir; `pages` is read from the materialised parquet path). */
+    * the same dir; `pages` + golden sidecars are read from the
+    * materialised parquet paths). */
   def oracleSql: Map[String, String] = {
-    val pages = "read_parquet('/root/repo/data/pages/sf0.01/*.parquet')"
+    val pagesDir = PagesTable.dirFor("sf0.01")
+    val pages = s"read_parquet('$pagesDir/*.parquet')"
+    val spansG = s"read_parquet('${pagesDir}_spans/*.parquet')"
+    val metaG = s"read_parquet('${pagesDir}_meta/*.parquet')"
     val tok = "string_split_regex(trim(text), '\\s+')"
     val shingles =
       s"""(SELECT doc_id, unnest(
@@ -229,6 +256,23 @@ object SparkEntry {
              for i in generate_series(1, greatest(length(w)-2, 1))]) AS s
           FROM (SELECT doc_id, $tok AS w FROM documents) t)"""
     def h60(e: String) = s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+    val minhashSql =
+      (s"SELECT doc_id, " +
+       (0 until 8).map(i => s"min(${h60(s"'$i:' || s")}) AS h$i").mkString(", ") +
+       s" FROM $shingles GROUP BY doc_id")
+    // IVF assignment replay (shared by e2/e4): deterministic md5-sampled
+    // centroids, rank by cosine desc with cell-asc tie-break
+    def ivfAssignSql(nprobe: Int) =
+      s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+          par AS (SELECT count(*) AS n,
+                         greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cells
+                  FROM v),
+          cent AS (SELECT vec_id AS cell, e AS c FROM v, par
+                   WHERE ${h60("'c:' || CAST(vec_id AS VARCHAR)")} % greatest(1, n // cells) = 0),
+          assign AS (SELECT vec_id, cell, e,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_cosine_similarity(e, c) DESC, cell ASC) AS rn
+                     FROM v CROSS JOIN cent)"""
 
     Map(
       "x1_extract_text" -> s"SELECT url, text FROM $pages",
@@ -237,8 +281,63 @@ object SparkEntry {
         (s"SELECT url FROM $pages WHERE CAST(regexp_extract(url, 'articles/(\\d+)', 1) AS BIGINT) % 3 <> 0"),
       "x4_lang_metrics" ->
         (s"SELECT lang, count(*) AS docs, CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes FROM $pages GROUP BY lang"),
+      "x5_spans" ->
+        (s"""SELECT url, kind, tag AS label, start, "end", line FROM $spansG"""),
+      "l1_reading_order" ->
+        s"SELECT url, kind AS label, line, x, y, w, h FROM $spansG",
+      "l1b_order_perm" ->
+        (s"""SELECT url, CAST(n_spans AS BIGINT) AS n_blocks,
+               CAST(n_spans AS BIGINT) * (n_spans + 1) // 2 AS ord_sum,
+               1 AS ord_min, n_spans AS ord_max,
+               CAST(n_spans AS BIGINT) AS n_ord_distinct
+             FROM $metaG"""),
+      "l4_projection_lines" ->
+        s"SELECT url, n_lines, CAST(line_h_sum AS BIGINT) AS line_height_sum FROM $metaG",
+      "l7_text_attributes" ->
+        (s"""SELECT url, CAST(chars AS BIGINT) AS chars,
+               CAST(bold_chars AS BIGINT) AS bold_chars,
+               CAST(italic_chars AS BIGINT) AS italic_chars,
+               CAST(underline_chars AS BIGINT) AS underline_chars,
+               CAST(strike_chars AS BIGINT) AS strike_chars,
+               CAST(heading_chars AS BIGINT) AS heading_chars
+             FROM $metaG"""),
+      "l9_table_structure" ->
+        (s"""SELECT url, n_tables, table_rows AS nrows, table_cells AS ncells,
+               CAST(cell_area AS BIGINT) AS cell_area
+             FROM $metaG"""),
       "x6_base64" ->
         (s"SELECT url, octet_length(html) AS n_bytes FROM $pages"),
+      "x7_sidecar_json" ->
+        s"SELECT url, n_spans AS n_regions FROM $metaG",
+      "m1_media_meta" ->
+        (s"""SELECT url AS media_id, CAST(octet_length(html) AS BIGINT) AS n_bytes,
+               CASE WHEN substr(hex(html),1,4) = 'FFD8' THEN 'jpeg'
+                    WHEN substr(hex(html),1,8) = '89504E47' THEN 'png'
+                    WHEN substr(hex(html),1,8) = '52494646' THEN 'riff'
+                    WHEN substr(hex(html),1,8) = '4F676753' THEN 'ogg'
+                    WHEN substr(hex(html),9,8) = '66747970' THEN 'mp4'
+                    WHEN substr(hex(html),1,2) = '3C' THEN 'html'
+                    ELSE 'bin' END AS format,
+               CAST(64 + ((octet_length(html) * 2654435761) // 256) % 1857 AS INT) AS width,
+               CAST(64 + ((octet_length(html) * 40503) // 16) % 1017 AS INT) AS height,
+               CAST(1 + octet_length(html) % 240 AS INT) AS frames
+             FROM $pages"""),
+      "m2_media_frames" ->
+        (s"""SELECT url AS media_id,
+               unnest(generate_series(0, CAST(octet_length(html) % 240 AS INT), 10)) AS frame_index
+             FROM $pages"""),
+      "m3_media_features" ->
+        (s"""WITH w AS (SELECT url AS media_id, substr(hex(html), 1, 2048) AS hx FROM $pages),
+               b AS (SELECT media_id,
+                       CAST(('0x' || substr(hx, 2*i-1, 2)) AS INT) // 8 AS bin
+                     FROM (SELECT media_id, hx,
+                             unnest(generate_series(1, length(hx) // 2)) AS i
+                           FROM w))
+             SELECT media_id,
+               CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS f7,
+               CAST(sum(CASE WHEN bin = 12 THEN 1 ELSE 0 END) AS BIGINT) AS f12,
+               CAST(sum(CASE WHEN bin = 13 THEN 1 ELSE 0 END) AS BIGINT) AS f13
+             FROM b GROUP BY media_id"""),
       "t10_len_median" ->
         ("SELECT lang, median(n_chars) AS median_chars, count(*) AS docs " +
          "FROM documents GROUP BY lang"),
@@ -252,10 +351,7 @@ object SparkEntry {
       "t4_dedup_prefix" ->
         (s"SELECT md5(array_to_string(list_slice($tok, 1, 5), ' ')) AS h, " +
          "count(*) AS cnt, min(doc_id) AS keep_id FROM documents GROUP BY 1"),
-      "t5_minhash" ->
-        (s"SELECT doc_id, " +
-         (0 until 8).map(i => s"min(${h60(s"'$i:' || s")}) AS h$i").mkString(", ") +
-         s" FROM $shingles GROUP BY doc_id"),
+      "t5_minhash" -> minhashSql,
       "t6_simhash" ->
         (s"""SELECT doc_id, (
               ${(0 until 16).map(b =>
@@ -276,6 +372,55 @@ object SparkEntry {
              WHERE inter * 10 >= (sa.n + sb.n - inter) * 3"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
+      "t9_langid" -> {
+        val stops = LangId.profiles.map { case (lang, ws) =>
+          lang -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        }
+        val scoreCols = stops.map { case (lang, lst) =>
+          s"length(list_intersect(w, $lst)) AS s_$lang"
+        }.mkString(", ")
+        // winner = first language (profile order) attaining the overall
+        // max — the SQL mirror of the strictly-greater left fold
+        val caseArms = LangId.profiles.dropRight(1)
+          .map { case (lang, _) => s"WHEN s_$lang = m THEN '$lang'" }
+          .mkString(" ")
+        val lastLang = LangId.profiles.last._1
+        s"""WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
+            c AS (SELECT doc_id, $scoreCols FROM s)
+            SELECT doc_id, CASE $caseArms ELSE '$lastLang' END AS pred_lang
+            FROM (SELECT *, greatest(${LangId.profiles.map(p => s"s_${p._1}").mkString(", ")}) AS m FROM c)"""
+      },
+      "t11_lsh_pairs" -> {
+        def bucket(b: Int) = (0 until 4)
+          .map(k => s"CAST(h${b * 4 + k} AS VARCHAR)").mkString(" || ',' || ")
+        s"""WITH sig AS ($minhashSql),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(${bucket(0)}) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(${bucket(1)}) AS bucket FROM sig)
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.band AS band
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""
+      },
+      "s1_script" -> {
+        val re2 = Map(
+          "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+          "devanagari" -> "[\\x{0900}-\\x{097F}]",
+          "arabic" -> "[\\x{0600}-\\x{06FF}]",
+          "han" -> "[\\x{4E00}-\\x{9FFF}]",
+          "cyrillic" -> "[\\x{0400}-\\x{04FF}]")
+        val counts = ScriptId.profiles.map { case (name, _) =>
+          s"length(text) - length(regexp_replace(text, '${re2(name)}', '', 'g')) AS ${name}_chars"
+        }.mkString(", ")
+        val caseArms = ScriptId.profiles.dropRight(1)
+          .map { case (name, _) => s"WHEN ${name}_chars = m THEN '$name'" }
+          .mkString(" ")
+        val lastName = ScriptId.profiles.last._1
+        s"""WITH c AS (SELECT doc_id, $counts FROM documents)
+            SELECT doc_id, ${ScriptId.profiles.map(p => s"${p._1}_chars").mkString(", ")},
+              CASE WHEN m = 0 THEN 'unknown' $caseArms ELSE '$lastName' END AS pred_script
+            FROM (SELECT *, greatest(${ScriptId.profiles.map(p => s"${p._1}_chars").mkString(", ")}) AS m FROM c)"""
+      },
       "e1_knn_exact" ->
         ("""SELECT vec_id, neighbor_id, rank FROM (
               SELECT l.vec_id AS vec_id, r.vec_id AS neighbor_id,
@@ -285,8 +430,27 @@ object SparkEntry {
               JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings) r
               ON l.vec_id <> r.vec_id)
             WHERE rank <= 5"""),
+      "e2_knn_ivf" ->
+        (s"""WITH ${ivfAssignSql(4)},
+             probes AS (SELECT * FROM assign WHERE rn <= 4),
+             home AS (SELECT * FROM assign WHERE rn = 1),
+             sims AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                             list_cosine_similarity(l.e, r.e) AS sim
+                      FROM probes l JOIN home r
+                        ON l.cell = r.cell AND l.vec_id <> r.vec_id)
+             SELECT a AS vec_id, b AS neighbor_id, rank FROM (
+               SELECT a, b, row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC, b ASC) AS rank FROM sims)
+             WHERE rank <= 5"""),
       "e3_label_counts" ->
         "SELECT label, count(*) AS cnt, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM embeddings GROUP BY label",
+      "e4_cosine_dups" ->
+        (s"""WITH ${ivfAssignSql(1)},
+             home AS (SELECT * FROM assign WHERE rn = 1)
+             SELECT l.vec_id AS a, r.vec_id AS b
+             FROM home l JOIN home r
+               ON l.cell = r.cell AND l.vec_id < r.vec_id
+             WHERE list_cosine_similarity(l.e, r.e) >= 0.9"""),
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
          "count(*) AS count_order FROM lineitem GROUP BY 1, 2"),

@@ -228,15 +228,29 @@ object Extractor {
     }
     val pageH = math.max(cursor + MarginX, 200)
     val layout = ReadingOrderPipeline.run(words.toIndexedSeq, PageW, pageH)
-    // block order: 1-based reading order from the pipeline; a block whose
-    // word never got ordered (unreachable chain) keeps document order
-    val orderOf = Array.tabulate(content.length)(identity)
+    // block order: 1-based reading order from the pipeline. The reference's
+    // pinp2 drops chain-absorbed members (pinp_utils.py:268 reads the
+    // absorbed row's ORIGINAL component list, so grand-members vanish);
+    // the engine contract is stronger — every block exactly once, orders a
+    // permutation of 1..n — so blocks the walk never emitted are appended
+    // after the ordered ones, in document order.
+    val orderOf = new Array[Int](content.length)
+    java.util.Arrays.fill(orderOf, -1)
     // block boxes have unique y coordinates — O(1) map-back
     val byY = new java.util.HashMap[Int, Int](content.length * 2)
     for (k <- words.indices) byY.put(words(k).bbox.y, k)
+    var maxOrd = -1
     for (r <- layout.regions) {
       val idx = byY.getOrDefault(r.bbox.y, -1)
-      if (idx >= 0 && words(idx).bbox == r.bbox) orderOf(idx) = r.order - 1
+      if (idx >= 0 && words(idx).bbox == r.bbox) {
+        orderOf(idx) = r.order - 1
+        if (r.order - 1 > maxOrd) maxOrd = r.order - 1
+      }
+    }
+    i = 0
+    while (i < content.length) {
+      if (orderOf(i) < 0) { maxOrd += 1; orderOf(i) = maxOrd }
+      i += 1
     }
 
     val spans = Array.tabulate(content.length) { k =>

@@ -40,26 +40,35 @@ object MultiModal {
   }
 
   /** STUB decoder (???-equivalent): a real deployment would decode the
-    * container here; the sandbox derives deterministic dimensions from a
-    * 64-bit FNV of the payload so the pipeline shape is testable. */
+    * container here; the sandbox derives deterministic dimensions from the
+    * payload size with simple integer arithmetic — chosen deliberately to
+    * be expressible in the driver's DuckDB oracle SQL, so the decode
+    * PLUMBING (schema, partitioning, batch shape) is hash-checked even
+    * though the codec itself is a stand-in. */
   def decodeStub(id: String, bytes: Array[Byte]): MediaMeta = {
-    var h = 0xcbf29ce484222325L
-    var i = 0
-    val step = math.max(1, bytes.length / 1024) // sample at most ~1K bytes
-    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xffL)) * 0x100000001b3L; i += step }
-    val w = 64 + ((h >>> 8) % 1857).toInt
-    val ht = 64 + ((h >>> 24) % 1017).toInt
-    MediaMeta(id, bytes.length.toLong, sniffFormat(bytes), w, ht,
-      frames = 1 + ((h >>> 40) % 240).toInt)
+    val n = bytes.length.toLong
+    MediaMeta(id, n, sniffFormat(bytes),
+      width = 64 + ((n * 2654435761L / 256L) % 1857L).toInt,
+      height = 64 + ((n * 40503L / 16L) % 1017L).toInt,
+      frames = 1 + (n % 240L).toInt)
   }
 
-  /** STUB feature extractor: 32-bin byte histogram, L1-normalised —
-    * deterministic stand-in for an embedding model. */
-  def featuresStub(id: String, bytes: Array[Byte]): MediaFeatures = {
+  /** STUB feature extractor: 32-bin byte histogram over the first 1 KiB
+    * (a header-window read — bounded per-row work at any payload size),
+    * L1-normalised — deterministic stand-in for an embedding model. */
+  val FeatureWindow = 1024
+
+  def featureCounts(bytes: Array[Byte]): Array[Long] = {
     val bins = new Array[Long](32)
     var i = 0
-    while (i < bytes.length) { bins((bytes(i) & 0xff) >> 3) += 1; i += 1 }
-    val n = math.max(1L, bytes.length.toLong)
+    val end = math.min(bytes.length, FeatureWindow)
+    while (i < end) { bins((bytes(i) & 0xff) >> 3) += 1; i += 1 }
+    bins
+  }
+
+  def featuresStub(id: String, bytes: Array[Byte]): MediaFeatures = {
+    val bins = featureCounts(bytes)
+    val n = math.max(1L, math.min(bytes.length.toLong, FeatureWindow.toLong))
     MediaFeatures(id, bins.map(b => (b.toDouble / n).toFloat))
   }
 

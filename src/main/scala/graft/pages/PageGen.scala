@@ -8,6 +8,29 @@ import java.sql.Timestamp
 final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
                          text: String, lang: String)
 
+/** Golden span expectation, derived at generation time from the content
+  * the generator itself wrote (NOT by running the extractor): one row per
+  * expected content block. `ord` is deliberately absent — reading order on
+  * real geometry is the pipeline's own semantics (verified against
+  * reference-executed goldens); the generator instead pins the
+  * order-permutation invariant through [[PageMeta]]. */
+final case class SpanGolden(url: String, idx: Int, kind: String, tag: String,
+                            start: Long, end: Long, line: Int,
+                            x: Int, y: Int, w: Int, h: Int)
+
+/** Per-page golden aggregates, all derived from what the generator wrote:
+  * span count, non-whitespace char totals by style context, table
+  * structure counts, and projection-profile line expectations. */
+final case class PageMeta(url: String, n_spans: Int,
+                          chars: Long, bold_chars: Long, italic_chars: Long,
+                          underline_chars: Long, strike_chars: Long,
+                          heading_chars: Long,
+                          n_tables: Int, table_rows: Int, table_cells: Int,
+                          cell_area: Long,
+                          n_lines: Int, line_h_sum: Long)
+
+final case class GenPage(row: PageRow, meta: PageMeta, spans: Vector[SpanGolden])
+
 /** Deterministic synthetic page generator (FIXTURES.md §1).
   *
   * Pure function of (seed, index): builds structured HTML — boilerplate
@@ -18,12 +41,41 @@ final case class PageRow(url: String, warc_ts: Timestamp, html: Array[Byte],
   * is a real self-consistent golden, per the extraction contract:
   * whitespace-normalised blocks, document order, '\n'-joined.
   *
+  * v2 additionally emits golden sidecar tables ([[SpanGolden]], [[PageMeta]])
+  * so the driver's DuckDB oracle can hash-check the layout/attribute branch
+  * of the engine, not just the text bytes:
+  *  - span offsets/labels/lines and pseudo-geometry follow the published
+  *    layout contract (virtual 960px page, 40px margins, 8px char cells,
+  *    20px lines, 10px block gap) that the extractor also implements;
+  *  - style-context char totals count every non-whitespace character the
+  *    generator writes into the body (content AND chrome), per context;
+  *  - table row/cell counts come from the tables the generator emitted.
+  *
   * The html-length distribution is deliberately heavy-tailed (~2% of pages
   * are 10-40× larger) so skew handling (salted repartition, AQE) is
   * exercised at bench scale.
   */
 object PageGen {
   private val baseTs = 1704067200000L // 2024-01-01T00:00:00Z
+
+  // ---- layout contract constants (shared spec with the extractor) ------
+  private val PageW = 960
+  private val MarginX = 40
+  private val CharW = 8
+  private val LineH = 20
+  private val BlockGap = 10
+  private val LineChars = (PageW - 2 * MarginX) / CharW // 110
+  private def lineCount(chars: Int): Int =
+    math.max(1, (chars + LineChars - 1) / LineChars)
+  private def kindOf(tag: String): String = tag match {
+    case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
+    case "li" | "dt" | "dd"                       => "list_item"
+    case "td" | "th"                              => "table_cell"
+    case "caption" | "figcaption"                 => "caption"
+    case "pre"                                    => "code"
+    case "blockquote"                             => "quote"
+    case _                                        => "paragraph"
+  }
 
   // splitmix64
   private final class Rng(seed0: Long) {
@@ -41,6 +93,29 @@ object PageGen {
     }
     def nextDouble(): Double = (nextLong() >>> 11).toDouble / (1L << 53).toDouble
     def pick[A](xs: IndexedSeq[A]): A = xs(nextInt(xs.length))
+  }
+
+  /** Non-whitespace char totals by style context — mirrors what the
+    * text-attribute operator counts over DOM text nodes. */
+  private final class Attr {
+    var total = 0L
+    var bold = 0L
+    var italic = 0L
+    var under = 0L
+    var strike = 0L
+    var heading = 0L
+    def add(s: String, h: Boolean = false, b: Boolean = false,
+            i: Boolean = false, u: Boolean = false, st: Boolean = false): Unit = {
+      var n = 0
+      var k = 0
+      while (k < s.length) { if (!Character.isWhitespace(s.charAt(k))) n += 1; k += 1 }
+      total += n
+      if (h) heading += n
+      if (b) bold += n
+      if (i) italic += n
+      if (u) under += n
+      if (st) strike += n
+    }
   }
 
   private val vocabEn = Vector("the", "quick", "analysis", "shows", "that",
@@ -87,8 +162,10 @@ object PageGen {
     ("caf&eacute;", "café"), ("&ldquo;quoted&rdquo;", "“quoted”"),
     ("5&nbsp;&lt;&nbsp;10", "5 < 10"), ("x&nbsp;&gt;&nbsp;y", "x > y"))
 
-  private def sentence(r: Rng, vocab: IndexedSeq[String], nWords: Int): (String, String) = {
-    // returns (htmlText, expectedText)
+  /** Styled sentence; counts every produced char into `attr` under the
+    * given heading context. Returns (htmlText, expectedText). */
+  private def sentence(r: Rng, vocab: IndexedSeq[String], nWords: Int,
+                       attr: Attr, heading: Boolean): (String, String) = {
     val hb = new StringBuilder
     val eb = new StringBuilder
     var k = 0
@@ -97,32 +174,46 @@ object PageGen {
       if (r.nextInt(40) == 0) {
         val (h, e) = r.pick(entityWords)
         hb ++= h; eb ++= e
+        attr.add(e, h = heading)
       } else {
         val w = r.pick(vocab)
-        if (r.nextInt(25) == 0) { hb ++= s"<b>$w</b>"; eb ++= w }
-        else if (r.nextInt(25) == 0) { hb ++= s"<i>$w</i>"; eb ++= w }
-        else { hb ++= w; eb ++= w }
+        if (r.nextInt(25) == 0) { hb ++= s"<b>$w</b>"; attr.add(w, h = heading, b = true) }
+        else if (r.nextInt(25) == 0) { hb ++= s"<i>$w</i>"; attr.add(w, h = heading, i = true) }
+        else if (r.nextInt(25) == 0) { hb ++= s"<u>$w</u>"; attr.add(w, h = heading, u = true) }
+        else if (r.nextInt(25) == 0) { hb ++= s"<s>$w</s>"; attr.add(w, h = heading, st = true) }
+        else { hb ++= w; attr.add(w, h = heading) }
+        eb ++= w
       }
       k += 1
     }
     (hb.toString, eb.toString)
   }
 
-  private def linkList(r: Rng, vocab: IndexedSeq[String], n: Int): String =
-    (0 until n).map { _ =>
-      s"""<a href="/x/${r.nextInt(1000)}">${r.pick(vocab)} ${r.pick(vocab)}</a>"""
+  private def linkList(r: Rng, vocab: IndexedSeq[String], n: Int, attr: Attr): String =
+    (0 until n).map { k =>
+      if (k > 0) attr.add("|")
+      val w1 = r.pick(vocab)
+      val w2 = r.pick(vocab)
+      attr.add(w1); attr.add(w2)
+      s"""<a href="/x/${r.nextInt(1000)}">$w1 $w2</a>"""
     }.mkString(" | ")
 
-  /** Generate page #idx under `seed`. */
-  def page(seed: Long, idx: Long): PageRow = {
+  /** Generate page #idx under `seed`, with golden sidecar rows. */
+  def pageFull(seed: Long, idx: Long): GenPage = {
     val r = new Rng(seed * 0x100000001b3L + idx)
+    val attr = new Attr
     val lang = langs(r.nextInt(langs.length))
     val vocab = vocabOf(lang)
     val host = s"site${r.nextInt(500)}.example.org"
     val url = s"https://$host/articles/${idx}"
 
     val html = new StringBuilder(4096)
-    val expected = scala.collection.mutable.ArrayBuffer.empty[String]
+    // (tag, expectedText) per content block, document order
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var nTables = 0
+    var tableRows = 0
+    var tableCells = 0
+    var cellArea = 0L
 
     html ++= "<!DOCTYPE html>\n<html><head>"
     html ++= s"<title>${r.pick(vocab)} ${r.pick(vocab)}</title>"
@@ -131,10 +222,17 @@ object PageGen {
     html ++= "</head>\n<body>\n"
 
     // chrome: header + nav (dropped by tag rule)
-    html ++= s"""<header class="site-header"><h1>${r.pick(vocab)}</h1>${linkList(r, vocab, 4)}</header>\n"""
-    html ++= s"""<nav class="main-nav">${linkList(r, vocab, 3 + r.nextInt(6))}</nav>\n"""
-    if (r.nextInt(3) == 0)
-      html ++= s"""<div class="cookie-banner">We use cookies ${r.pick(vocab)} <a href="/accept">accept</a></div>\n"""
+    locally {
+      val hw = r.pick(vocab)
+      attr.add(hw, h = true)
+      html ++= s"""<header class="site-header"><h1>$hw</h1>${linkList(r, vocab, 4, attr)}</header>\n"""
+    }
+    html ++= s"""<nav class="main-nav">${linkList(r, vocab, 3 + r.nextInt(6), attr)}</nav>\n"""
+    if (r.nextInt(3) == 0) {
+      val cw = r.pick(vocab)
+      attr.add("We use cookies"); attr.add(cw); attr.add("accept")
+      html ++= s"""<div class="cookie-banner">We use cookies $cw <a href="/accept">accept</a></div>\n"""
+    }
 
     html ++= """<div class="content">"""
 
@@ -145,51 +243,63 @@ object PageGen {
       else baseSections
 
     // article heading
-    val (h1h, h1e) = sentence(r, vocab, 2 + r.nextInt(5))
+    val (h1h, h1e) = sentence(r, vocab, 2 + r.nextInt(5), attr, heading = true)
     html ++= s"<h1>$h1h</h1>\n"
-    expected += h1e
+    expected += (("h1", h1e))
 
     var s = 0
     while (s < nSections) {
       if (r.nextInt(3) > 0) {
-        val (hh, he) = sentence(r, vocab, 2 + r.nextInt(4))
+        val (hh, he) = sentence(r, vocab, 2 + r.nextInt(4), attr, heading = true)
         html ++= s"<h2>$hh</h2>\n"
-        expected += he
+        expected += (("h2", he))
       }
       val nParas = 1 + r.nextInt(4)
       var p = 0
       while (p < nParas) {
-        val (ph, pe) = sentence(r, vocab, 8 + r.nextInt(53))
+        val (ph, pe) = sentence(r, vocab, 8 + r.nextInt(53), attr, heading = false)
         // at most one short link per paragraph keeps link density << 1/3
         val (bodyH, bodyE) =
           if (r.nextInt(4) == 0) {
             val lw = r.pick(vocab)
+            attr.add(lw); attr.add(".")
             (s"""$ph <a href="/ref/${r.nextInt(99)}">$lw</a>.""", s"$pe $lw.")
-          } else (s"$ph.", s"$pe.")
+          } else {
+            attr.add(".")
+            (s"$ph.", s"$pe.")
+          }
         html ++= s"<p>$bodyH</p>\n"
-        expected += bodyE
+        expected += (("p", bodyE))
         p += 1
       }
       r.nextInt(5) match {
         case 0 => // list: items ≥5 words
-          val items = (0 until 2 + r.nextInt(4)).map(_ => sentence(r, vocab, 5 + r.nextInt(6)))
+          val items = (0 until 2 + r.nextInt(4))
+            .map(_ => sentence(r, vocab, 5 + r.nextInt(6), attr, heading = false))
           html ++= "<ul>" + items.map(i => s"<li>${i._1}</li>").mkString + "</ul>\n"
-          expected ++= items.map(_._2)
+          expected ++= items.map(i => ("li", i._2))
         case 1 => // table: cells ≥5 words
           val rows = (0 until 1 + r.nextInt(3)).map { _ =>
-            (0 until 2).map(_ => sentence(r, vocab, 5 + r.nextInt(4)))
+            (0 until 2).map(_ => sentence(r, vocab, 5 + r.nextInt(4), attr, heading = false))
           }
           html ++= "<table>" + rows.map(row =>
             "<tr>" + row.map(c => s"<td>${c._1}</td>").mkString + "</tr>").mkString + "</table>\n"
-          expected ++= rows.flatMap(_.map(_._2))
+          expected ++= rows.flatMap(_.map(c => ("td", c._2)))
+          nTables += 1
+          tableRows += rows.length
+          tableCells += rows.length * 2
+          // table-structure pseudo-geometry: each row splits the 880px
+          // content width evenly over its cells, rows are 20px bands
+          cellArea += rows.length.toLong * 2L * ((PageW - 2 * MarginX) / 2).toLong * LineH
         case 2 => // blockquote
-          val (qh, qe) = sentence(r, vocab, 6 + r.nextInt(12))
+          val (qh, qe) = sentence(r, vocab, 6 + r.nextInt(12), attr, heading = false)
           html ++= s"<blockquote>$qh</blockquote>\n"
-          expected += qe
+          expected += (("blockquote", qe))
         case 3 if r.nextInt(2) == 0 => // pre: internal newlines normalise to spaces
           val lines = (0 until 2 + r.nextInt(3)).map(_ => s"val x${r.nextInt(99)} = ${r.nextInt(999)}")
+          lines.foreach(l => attr.add(l))
           html ++= s"<pre>${lines.mkString("\n")}</pre>\n"
-          expected += lines.mkString(" ")
+          expected += (("pre", lines.mkString(" ")))
         case _ =>
       }
       s += 1
@@ -197,19 +307,57 @@ object PageGen {
     html ++= "</div>\n"
 
     // chrome: related/aside/comments/footer (dropped by tag/class rules)
-    html ++= s"""<aside class="sidebar"><h3>${r.pick(vocab)}</h3>${linkList(r, vocab, 5)}</aside>\n"""
+    locally {
+      val aw = r.pick(vocab)
+      attr.add(aw, h = true)
+      html ++= s"""<aside class="sidebar"><h3>$aw</h3>${linkList(r, vocab, 5, attr)}</aside>\n"""
+    }
     if (r.nextInt(2) == 0) {
-      val (ch, _) = sentence(r, vocab, 10 + r.nextInt(20))
+      val (ch, _) = sentence(r, vocab, 10 + r.nextInt(20), attr, heading = false)
       html ++= s"""<div class="comments"><div class="comment">$ch</div></div>\n"""
     }
-    html ++= s"""<div class="related">${linkList(r, vocab, 4)}</div>\n"""
-    html ++= s"""<footer><p>&copy; 2024 $host</p>${linkList(r, vocab, 3)}</footer>\n"""
+    html ++= s"""<div class="related">${linkList(r, vocab, 4, attr)}</div>\n"""
+    attr.add("©"); attr.add("2024"); attr.add(host)
+    html ++= s"""<footer><p>&copy; 2024 $host</p>${linkList(r, vocab, 3, attr)}</footer>\n"""
     html ++= "</body></html>\n"
 
-    PageRow(url, new Timestamp(baseTs + idx * 1000L),
-      html.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
-      expected.mkString("\n"), lang)
+    // ---- golden span table: offsets, lines, pseudo-geometry -------------
+    val spans = Vector.newBuilder[SpanGolden]
+    var off = 0L
+    var lineCursor = 1
+    var yCursor = MarginX
+    var lineHSum = 0L
+    var i = 0
+    while (i < expected.length) {
+      val (tag, text) = expected(i)
+      if (i > 0) off += 1 // '\n' separator
+      val start = off
+      off += text.length
+      val lines = lineCount(text.length)
+      val w = math.max(math.min(text.length * CharW, PageW - 2 * MarginX), CharW)
+      spans += SpanGolden(url, i, kindOf(tag), tag, start, off, lineCursor,
+        MarginX, yCursor, w, lines * LineH)
+      lineHSum += lines.toLong * LineH + 1L // projection run = box height + 1
+      lineCursor += lines
+      yCursor += lines * LineH + BlockGap
+      i += 1
+    }
+
+    val expectedText = expected.iterator.map(_._2).mkString("\n")
+    val meta = PageMeta(url, expected.length,
+      attr.total, attr.bold, attr.italic, attr.under, attr.strike, attr.heading,
+      nTables, tableRows, tableCells, cellArea,
+      n_lines = expected.length, line_h_sum = lineHSum)
+
+    GenPage(
+      PageRow(url, new Timestamp(baseTs + idx * 1000L),
+        html.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        expectedText, lang),
+      meta, spans.result())
   }
+
+  /** Generate page #idx under `seed` (row only). */
+  def page(seed: Long, idx: Long): PageRow = pageFull(seed, idx).row
 
   /** Deterministic page range [from, until). */
   def pages(seed: Long, from: Long, until: Long): Iterator[PageRow] =

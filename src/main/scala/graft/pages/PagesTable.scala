@@ -2,15 +2,19 @@ package graft.pages
 
 import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
 
-/** Materialisation of the synthetic `pages` table (FIXTURES.md §1).
+/** Materialisation of the synthetic `pages` table (FIXTURES.md §1) plus
+  * its golden sidecar tables (`<sf>_spans`, `<sf>_meta`) for the DuckDB
+  * oracle.
   *
   * Deterministic per (seed, n): generation is a pure function, so the
   * parquet can be (re)built at any time and oracle queries over it are
   * stable. Generated distributed — one generator per partition, no
-  * driver-side collection.
+  * driver-side collection. The directory is VERSIONED (`v2`): any change
+  * to the generator bumps the version so stale data is never reused.
   */
 object PagesTable {
   val Seed = 42L
+  val Version = "v2"
 
   /** Row count per scale-factor directory name. */
   def rowsFor(sfName: String): Long = sfName match {
@@ -21,7 +25,9 @@ object PagesTable {
     case _         => 2000L
   }
 
-  def dirFor(sfName: String): String = s"/root/repo/data/pages/$sfName"
+  def dirFor(sfName: String): String = s"/root/repo/data/pages_$Version/$sfName"
+  def spansDirFor(sfName: String): String = s"${dirFor(sfName)}_spans"
+  def metaDirFor(sfName: String): String = s"${dirFor(sfName)}_meta"
 
   /** Distributed deterministic generation. */
   def generate(spark: SparkSession, seed: Long, n: Long,
@@ -32,8 +38,11 @@ object PagesTable {
     }
   }
 
-  /** Write-if-missing; returns the parquet path. */
+  /** Write-if-missing (pages + golden sidecars); returns the parquet path.
+    * Generation runs once per output table — regenerating is cheaper than
+    * caching 100k html payloads in executor memory. */
   def ensure(spark: SparkSession, sfName: String): String = {
+    import spark.implicits._
     val dir = dirFor(sfName)
     val marker = new java.io.File(dir, "_SUCCESS")
     if (!marker.exists()) {
@@ -42,8 +51,10 @@ object PagesTable {
       // core at any local[N], so stragglers amortise (one-wave scans are
       // gated by their slowest task and measure skew, not throughput)
       val parts = math.max(1, math.min(192, n / 100)).toInt
-      generate(spark, Seed, n, parts)
-        .write.mode(SaveMode.Overwrite).parquet(dir)
+      def gen = spark.range(0, n, 1, parts).mapPartitions(_.map(i => PageGen.pageFull(Seed, i)))
+      gen.map(_.row).write.mode(SaveMode.Overwrite).parquet(dir)
+      gen.flatMap(_.spans).write.mode(SaveMode.Overwrite).parquet(spansDirFor(sfName))
+      gen.map(_.meta).write.mode(SaveMode.Overwrite).parquet(metaDirFor(sfName))
     }
     dir
   }

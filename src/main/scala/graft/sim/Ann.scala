@@ -1,16 +1,23 @@
 package graft.sim
 
-import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
   * Brute-force cosine top-k is the correctness baseline (O(n²) dot
   * products — all codegen'd builtins: zip_with + aggregate). The IVF
-  * variant is the scale path: vectors are assigned to the nearest of C
-  * deterministic centroids and only same-cell pairs are scored, turning
-  * the quadratic cross join into C partition-local joins.
+  * variant is the scale path: vectors are assigned to their nearest of
+  * ~√n deterministically-sampled centroids and only same-cell pairs are
+  * scored, turning the quadratic cross join into per-cell joins of
+  * expected size (n/√n)² = n — linear total work at fixed density.
+  *
+  * Every deterministic choice (centroid sampling, tie-breaks) uses the
+  * md5-60bit hashing convention shared with the DuckDB oracle, so the
+  * approximate index is itself hash-checkable: the oracle replays the
+  * same algorithm in SQL.
   */
 object Ann {
 
@@ -36,34 +43,54 @@ object Ann {
       .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("rank"))
   }
 
-  /** IVF cell ranking: for every vector, its `nprobe` nearest of the C
-    * centroids (the vectors with the C smallest vec_ids — deterministic,
-    * data-derived seeds), rank 1 being the home cell. */
-  def ivfAssign(emb: DataFrame, cells: Int, nprobe: Int = 1): DataFrame = {
-    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val centroids = v.orderBy(col("vec_id")).limit(cells)
+  /** Deterministic spread centroid sample: vectors whose 60-bit md5 hash
+    * of "c:<vec_id>" is 0 mod stride — ≈`cells` rows, spread uniformly
+    * over the id space with no global sort and no data-order dependence
+    * (the round-1 `orderBy(vec_id).limit(cells)` seeding clustered the
+    * centroids and skewed every cell). */
+  def centroids(v: DataFrame, stride: Long): DataFrame =
+    v.filter(
+        pmod(graft.text.TextOps.md5Hash60(concat(lit("c:"), col("vec_id").cast("string"))),
+          lit(stride)) === 0)
       .select(col("vec_id").as("cell"), col("e").as("c"))
+
+  /** Auto-scaled cell count: ~√n cells keeps per-cell join work linear in
+    * n. Callers at known scale pass `cells` explicitly. */
+  def autoCells(n: Long): Int = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** ONE assignment pass: for every vector its `nprobe` nearest centroids
+    * by cosine distance (rank 1 = home cell). Computed once and reused for
+    * both the index side (rn=1) and the probe side (rn≤nprobe) — the
+    * round-1 shape recomputed the broadcast-NL assignment twice. */
+  def ivfAssign(emb: DataFrame, cells: Int = 0, nprobe: Int = 1): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val n = emb.count()
+    val c = if (cells > 0) cells else autoCells(n)
+    val stride = math.max(1L, n / c)
+    val cent = centroids(v, stride)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
-    v.crossJoin(broadcast(centroids))
+    v.crossJoin(broadcast(cent))
       .withColumn("d", dot(col("e"), col("c")) /
         (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("c"), col("c")))) * -1)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
-      .select(col("vec_id"), col("cell"), col("e"))
+      .select(col("vec_id"), col("cell"), col("rn"), col("e"))
   }
 
   /** Approximate top-k, classic IVF shape: the INDEX side holds each
     * vector once (home cell); the QUERY side probes its `nprobe` nearest
     * cells and ranks exactly within the probed candidates. Recall rises
-    * with nprobe at linear cost; C partition-local joins replace the
-    * quadratic cross join of [[cosineKnn]]. */
-  def ivfKnn(emb: DataFrame, k: Int, cells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val home = ivfAssign(emb, cells, nprobe = 1)
-      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
-    val probes = ivfAssign(emb, cells, nprobe)
-    val l = probes.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"),
+    * with nprobe at linear cost; per-cell joins replace the quadratic
+    * cross join of [[cosineKnn]]. The assignment is persisted so home and
+    * probe legs share one computation. */
+  def ivfKnn(emb: DataFrame, k: Int, cells: Int = 0, nprobe: Int = 4): DataFrame = {
+    val assign = ivfAssign(emb, cells, nprobe)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val l = assign.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"),
       sqrt(dot(col("e"), col("e"))).as("na"))
-    val r = home.select(col("cell").as("cellr"), col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nb"))
+    val r = assign.filter(col("rn") === 1)
+      .select(col("cell").as("cellr"), col("vec_id").as("b"), col("e").as("eb"),
+        sqrt(dot(col("e"), col("e"))).as("nb"))
     val sims = l.join(r, col("cell") === col("cellr") && col("a") =!= col("b"))
       .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
     val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
@@ -73,9 +100,9 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
-    * via the IVF cells (each pair scored once, a < b). */
-  def cosineDupPairs(emb: DataFrame, threshold: Double, cells: Int = 16): DataFrame = {
-    val assigned = ivfAssign(emb, cells)
+    * via the IVF home cells (each surviving pair scored once, a < b). */
+  def cosineDupPairs(emb: DataFrame, threshold: Double, cells: Int = 0): DataFrame = {
+    val assigned = ivfAssign(emb, cells, nprobe = 1)
       .withColumn("norm", sqrt(dot(col("e"), col("e"))))
     val l = assigned.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"), col("norm").as("na"))
     val rr = assigned.select(col("cell").as("cellr"), col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nb"))

@@ -1,0 +1,45 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic script identification by Unicode-range character
+  * profiling — the engine analogue of the reference's script-identification
+  * surface (reference: server/modules/iitb/scriptiden/, whose
+  * helper shells out to a model per image; here the text itself carries
+  * the script, so counting code points per range is exact and
+  * SQL-expressible — every count ships with a DuckDB oracle).
+  *
+  * Count of chars in a range = length(text) - length(text with the range
+  * stripped): pure codegen'd built-ins, no UDF, no per-char explode.
+  */
+object ScriptId {
+
+  /** (script name, Java regex char class) in fold order — the winner is
+    * the first script reaching the maximum count (same first-strict-max
+    * fold as [[LangId]]). */
+  val profiles: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-zÀ-ɏ]",
+    "devanagari" -> "[ऀ-ॿ]",
+    "arabic" -> "[؀-ۿ]",
+    "han" -> "[一-鿿]",
+    "cyrillic" -> "[Ѐ-ӿ]")
+
+  private def countOf(textCol: Column, cls: String): Column =
+    length(textCol) - length(regexp_replace(textCol, cls, ""))
+
+  /** Per document: char count per script + predicted script (first-max
+    * fold; "unknown" when no profiled character occurs). */
+  def predict(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text"): DataFrame = {
+    val counts = profiles.map { case (name, cls) => name -> countOf(col(textCol), cls) }
+    val m = greatest(counts.map(_._2): _*)
+    // first script attaining the max == the strictly-greater left fold
+    val pred = counts.reverse.foldLeft(lit("unknown")) {
+      case (acc, (name, c)) => when(c === m && m > 0, lit(name)).otherwise(acc)
+    }
+    docs.select(
+      (col(idCol) +: counts.map { case (n, c) => c.as(s"${n}_chars") }) :+
+        pred.as("pred_script"): _*)
+  }
+}
