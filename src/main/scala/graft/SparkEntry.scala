@@ -215,7 +215,7 @@ object SparkEntry {
     "e3_label_counts" -> ((s, d) =>
       emb(s, d).groupBy("label").agg(
         count(lit(1)).as("cnt"), sum(col("vec_id")).as("id_sum"))),
-    "e4_cosine_dups" -> ((s, d) => Ann.cosineDupPairs(emb(s, d), threshold = 0.9)),
+    "e4_cosine_dups" -> ((s, d) => Ann.cosineDupPairs(emb(s, d), threshold = 0.42)),
 
     // ---- relational shell (TPC-H-ish) -----------------------------------
     "q1_agg" -> ((s, d) =>
@@ -450,7 +450,7 @@ object SparkEntry {
              SELECT l.vec_id AS a, r.vec_id AS b
              FROM home l JOIN home r
                ON l.cell = r.cell AND l.vec_id < r.vec_id
-             WHERE list_cosine_similarity(l.e, r.e) >= 0.9"""),
+             WHERE list_cosine_similarity(l.e, r.e) >= 0.42"""),
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
          "count(*) AS count_order FROM lineitem GROUP BY 1, 2"),

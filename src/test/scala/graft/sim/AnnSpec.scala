@@ -74,6 +74,33 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       f"IVF no better than random candidates: recall $recall%.3f vs coverage $coverage%.2f")
   }
 
+  test("IVF recall@5 >= 0.9 at nprobe=4 on clustered data") {
+    // The 100 TB case an IVF index exists for: real embeddings cluster.
+    // Deterministic mixture: 20 well-separated unit centres, 500 points =
+    // centre + small noise; true neighbours share a cluster, so probing
+    // the 4 nearest of ~sqrt(n) cells recovers them.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0L until 500L).map { id =>
+      val c = centers((id % 20).toInt)
+      val v = c.map(x => (x + 0.08 * rng.nextGaussian()).toFloat)
+      (id, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Ann.cosineKnn(emb, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.ivfKnn(emb, k = 5, cells = 0, nprobe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.iterator.map { case (id, nbrs) =>
+      (nbrs intersect approx.getOrElse(id, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    info(f"clustered-data IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.9, f"recall $recall%.3f < 0.9 on clustered data")
+  }
+
   test("near-duplicate pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Ann.cosineDupPairs(emb, threshold = 0.95).collect()
