@@ -132,6 +132,40 @@ object LayoutQueries {
       tables.iterator.map(_.ncells).sum, cellArea)
   }
 
+  /** A8 + A9: post-processing — 4-edge pixel-run dilate over the page's
+    * block-ink grid, then padding clamped to the page
+    * (reference: post_helper.py:10-35 `process_region` + 57-79
+    * `add_region_padding`). Emits the post-processed xyxy per block. */
+  def postprocess(url: String, html: Array[Byte], padding: Int = 5)
+      : Seq[(String, Int, Int, Int, Int, Int)] = {
+    val ex = Extractor.extract(url, html)
+    val boxes = ex.blocks.map(b => BBox(b.x, b.y, b.w, b.h)).toIndexedSeq
+    if (boxes.isEmpty) return Seq.empty
+    val pageW = 960
+    val pageH = math.max(boxes.iterator.map(_.y2).max + 40, 200)
+    val grid = new Projection.BoxInkGrid(pageW, pageH, boxes)
+    boxes.zipWithIndex.map { case (b, i) =>
+      val d = Projection.dilate4(b, grid)
+      val p = graft.geom.Geometry.padClamp(d, padding, pageW, pageH)
+      (url, i, p.x, p.y, p.x2, p.y2)
+    }
+  }
+
+  /** Hi-SAM line→paragraph grouping over the page's projection-profile
+    * lines (each line = one run box), geometric affinity at the
+    * reference's default threshold shape. */
+  def hisamGroups(url: String, html: Array[Byte]): (String, Int, Int) = {
+    val boxes = blockBoxes(url, html)
+    if (boxes.isEmpty) return (url, 0, 0)
+    val height = boxes.iterator.map(_.bbox.y2).foldLeft(200)(math.max) + 20
+    val hpp = new Array[Long](height)
+    for (r <- boxes; y <- r.bbox.y until r.bbox.y2) hpp(y) += r.bbox.w.toLong
+    val lines = Projection.segmentLines(hpp.toIndexedSeq, width = 960)
+      .map(r => Hisam.Line(Vector(r.bbox)))
+    val paras = Hisam.lineGroups(lines, layoutThresh = 0.5)
+    (url, lines.length, paras.length)
+  }
+
   /** Projection-profile line segmentation over the pseudo-page ink
     * density (block boxes rasterised onto the y axis). */
   def projectionLines(url: String, html: Array[Byte]): (String, Int, Long) = {

@@ -128,6 +128,22 @@ object SparkEntry {
         .toDF("url", "kept", "dropped")
     }),
 
+    // A8+A9: 4-edge dilate + padding clamp per block
+    "l10_postprocess" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .flatMap { case (u, h) => LayoutQueries.postprocess(u, h) }
+        .toDF("url", "idx", "x1", "y1", "x2", "y2")
+    }),
+
+    // Hi-SAM line->paragraph grouping over projection-profile lines
+    "l12_hisam_groups" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .map { case (u, h) => LayoutQueries.hisamGroups(u, h) }
+        .toDF("url", "n_lines", "n_paras")
+    }),
+
     "l7_text_attributes" -> ((s, d) => {
       import s.implicits._
       pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
@@ -293,6 +309,32 @@ object SparkEntry {
              FROM $metaG"""),
       "l4_projection_lines" ->
         s"SELECT url, n_lines, CAST(line_h_sum AS BIGINT) AS line_height_sum FROM $metaG",
+      // stacked single-column geometry: every edge expands exactly to the
+      // first blank strip (1px) then pads 5, clamps never bind (margins)
+      "l10_postprocess" ->
+        (s"""SELECT url, idx, x - 6 AS x1, y - 6 AS y1,
+               x + w + 5 AS x2, y + h + 5 AS y2
+             FROM $spansG"""),
+      // one projection line per block; adjacent full-width lines always
+      // clear the 0.5 affinity threshold -> one paragraph per page
+      "l12_hisam_groups" ->
+        s"SELECT url, n_lines, CASE WHEN n_lines > 0 THEN 1 ELSE 0 END AS n_paras FROM $metaG",
+      // every paragraph coincides with a block; only table-cell blocks are
+      // >=50% inside a zone (they ARE the zones), so dropped = table_cells
+      "l6_layout_filter" ->
+        (s"""SELECT url, n_spans - table_cells AS kept, table_cells AS dropped
+             FROM $metaG"""),
+      // synthetic confidence is a pure function of the golden geometry:
+      // conf > 0 <=> (31*x + 17*y + idx) % 100 > 10; size filter is a
+      // no-op (h >= 20, w >= 8); cap 300 binds only on heavy-tail pages
+      "l8_detector_filters" ->
+        (s"""SELECT url, CAST(n_raw AS INT) AS n_raw, CAST(n_conf AS INT) AS n_conf,
+               CAST(n_conf AS INT) AS n_size,
+               CAST(least(n_conf, 300) AS INT) AS n_capped
+             FROM (
+               SELECT url, count(*) AS n_raw,
+                 sum(CASE WHEN (31 * x + 17 * y + idx) % 100 > 10 THEN 1 ELSE 0 END) AS n_conf
+               FROM $spansG GROUP BY url)"""),
       "l7_text_attributes" ->
         (s"""SELECT url, CAST(chars AS BIGINT) AS chars,
                CAST(bold_chars AS BIGINT) AS bold_chars,

@@ -30,6 +30,24 @@ object Filters {
     BBox.fromXyxy(x1, y1, x2, y2)
   }
 
+  /** F6-word: the word-level layout filter — drop word boxes ≥50%-inside
+    * any figure/table/caption/formula zone. Unlike the component-level
+    * variant, 'advertisement' is NOT in the word-level class set
+    * (reference: routils/layout_filtering.py:132-158
+    * `filter_words_layout`; containment test pinp_utils.py:45-57). */
+  def filterWordsLayout(words: Seq[Word],
+                        zones: Map[String, Seq[(Double, Double, Double, Double)]]): Vector[Word] = {
+    val classes = Set("figure", "table", "caption", "formula")
+    words.iterator.filterNot { w =>
+      val b = w.bbox
+      val tlbr = (b.x.toDouble, b.y.toDouble, b.x2.toDouble, b.y2.toDouble)
+      zones.exists { case (key, values) =>
+        classes.contains(key) &&
+          values.exists(z => graft.geom.Geometry.isBoxInside(z, tlbr, 50.0))
+      }
+    }.toVector
+  }
+
   /** F9: detection cap — top `maxDet` by confidence (descending, index
     * ascending on ties), emitted in original order, mirroring YOLO's
     * max_det (reference: processors/v03xx.py:26 = 300 lines,

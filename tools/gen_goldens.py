@@ -191,6 +191,73 @@ for seed, n, lo, hi in [(42, 200, 0.0, 40.0), (7, 50, 5.0, 15.0),
 with open(f"{OUT}/kde_cases.json", "w") as f:
     json.dump(kde_cases, f)
 
+# --- A8 4-edge dilate goldens (post_helper.process_region) ----------------
+# Executes the reference's own process_region on crafted ink grids; the
+# pydantic Region is replaced by a minimal shim with the same to_xyxy /
+# from_xyxy surface (the function uses nothing else).
+
+
+class ShimRegion:
+    def __init__(self, xyxy, line=0, label=""):
+        self.xyxy = tuple(int(v) for v in xyxy)
+        self.line = line
+        self.label = label
+
+    def to_xyxy(self):
+        return self.xyxy
+
+    @classmethod
+    def from_xyxy(cls, t, line=0, label=""):
+        return cls(t, line, label)
+
+
+def load_process_region():
+    with open("/root/reference/server/modules/main/post_helper.py") as f:
+        src = f.read()
+    start = src.index("def process_region")
+    end = src.index("def process_dilate")
+    g = {"Region": ShimRegion}
+    exec(src[start:end], g)
+    return g["process_region"]
+
+
+process_region = load_process_region()
+
+dilate_cases = []
+GRID_W, GRID_H = 60, 40
+
+
+def run_dilate(ink_boxes, probe):
+    img = np.zeros((GRID_H, GRID_W), dtype=np.int64)
+    for (x, y, w, h) in ink_boxes:
+        img[y:y + h, x:x + w] = 1
+    out = process_region(img, ShimRegion(probe))
+    return list(out.to_xyxy())
+
+
+for ink, probe in [
+    # isolated box: every edge expands exactly 1 to the first blank strip
+    ([(10, 10, 8, 6)], (10, 10, 18, 16)),
+    # two horizontally-touching boxes: left expansion crosses the partner
+    ([(10, 10, 8, 6), (18, 10, 8, 6)], (18, 10, 26, 16)),
+    # vertical stack touching: top/bottom expansion crosses the partner
+    ([(10, 10, 8, 6), (10, 16, 8, 6)], (10, 16, 18, 22)),
+    # box at the left page edge, blank elsewhere: x1 walks to -1 (numpy
+    # negative index probes the blank last column and stops)
+    ([(0, 10, 5, 6)], (0, 10, 5, 16)),
+    # L-shaped ink around the probe: multi-step expansion on two edges
+    ([(10, 10, 20, 4), (10, 14, 4, 10)], (20, 11, 24, 13)),
+]:
+    dilate_cases.append({
+        "ink": [list(b) for b in ink],
+        "probe": list(probe),
+        "expected": run_dilate(ink, probe),
+        "gridW": GRID_W,
+        "gridH": GRID_H,
+    })
+with open(f"{OUT}/dilate_cases.json", "w") as f:
+    json.dump(dilate_cases, f)
+
 print("goldens written to", OUT)
 for fn in sorted(os.listdir(OUT)):
     print(" ", fn, os.path.getsize(f"{OUT}/{fn}"))
