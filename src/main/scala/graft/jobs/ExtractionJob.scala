@@ -1,5 +1,7 @@
 package graft.jobs
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.TaskContext
@@ -92,15 +94,26 @@ object ExtractionJob {
     }
   }
 
+  /** One JSON line per counter row — the executor-side sidecar format. */
+  private def metricsJson(m: PartitionMetrics, attempt: Int): String =
+    s"""{"run_id":"${m.run_id}","partition_id":${m.partition_id},""" +
+      s""""docs_parsed":${m.docs_parsed},"bytes_tokenized":${m.bytes_tokenized},""" +
+      s""""extraction_failures":${m.extraction_failures},"wall_ms":${m.wall_ms},""" +
+      s""""attempt":$attempt}"""
+
   /** Full job: extract → append extracted parquet + append metrics rows.
     *
     * Lineage is gathered inside the same pass (one counter row per task,
-    * flushed after the partition is fully consumed) and reported through a
-    * collection accumulator, so it works on a real multi-executor cluster —
-    * executors have no shared filesystem to drop sidecar files on. The
-    * driver appends the rows to the metrics table after the write action;
-    * speculative/retried tasks may double-report through the accumulator,
-    * so rows are deduped by (run_id, partition_id) before the append.
+    * flushed after the partition is fully consumed) and written BY THE
+    * EXECUTOR to a per-task sidecar file under `metrics_raw/<runId>/`,
+    * through the output path's own Hadoop FileSystem (hdfs/s3/local all
+    * work; the Hadoop conf travels as a broadcast entry map). The driver
+    * never accumulates per-task rows, so 10⁷–10⁸ tasks at the 10^12-row
+    * scale cost the driver nothing; after the write action the sidecars
+    * are compacted into the parquet `metrics` table in one small job and
+    * the raw dir is removed. Task retries/speculation produce one sidecar
+    * per attempt under distinct names; compaction dedupes per partition
+    * keeping the highest attempt.
     *
     * Returns the cumulative committed doc count, computed from the (tiny)
     * metrics table rather than a full rescan of the extracted table — at
@@ -109,7 +122,18 @@ object ExtractionJob {
     import spark.implicits._
     val work = planWorkSet(spark, cfg)
     val runId = cfg.runId
-    val acc = spark.sparkContext.collectionAccumulator[PartitionMetrics]("graft.partitionMetrics")
+    val rawDir = s"${cfg.outPath}/metrics_raw/$runId"
+
+    // the executor rebuilds a Hadoop Configuration from this entry map
+    // (Configuration itself is not serializable)
+    val confEntries = {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val it = conf.iterator()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue) }
+      b.result()
+    }
+    val confBc = spark.sparkContext.broadcast(confEntries)
 
     val extracted: Dataset[Extracted] =
       work.as[(String, Array[Byte])].mapPartitions { it =>
@@ -117,6 +141,7 @@ object ExtractionJob {
         var docs = 0L
         var bytes = 0L
         var failures = 0L
+        val tc = TaskContext.get()
         val pid = TaskContext.getPartitionId()
         val out = it.map { case (url, html) =>
           docs += 1
@@ -128,7 +153,7 @@ object ExtractionJob {
               Extracted(url, "", Array.empty, Array.empty)
           }
         }
-        // wrap so the counter row flushes after the partition is consumed
+        // wrap so the counter sidecar flushes after the partition is consumed
         new Iterator[Extracted] {
           def hasNext: Boolean = {
             val h = out.hasNext
@@ -140,22 +165,41 @@ object ExtractionJob {
           private def flush(): Unit = if (!flushed) {
             flushed = true
             val wallMs = (System.nanoTime() - t0) / 1000000
-            acc.add(PartitionMetrics(runId, pid, docs, bytes, failures, wallMs))
+            val m = PartitionMetrics(runId, pid, docs, bytes, failures, wallMs)
+            val attempt = if (tc != null) tc.attemptNumber() else 0
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confBc.value.foreach { case (k, v) => conf.set(k, v) }
+            val path = new org.apache.hadoop.fs.Path(s"$rawDir/p$pid-a$attempt.json")
+            val fs = path.getFileSystem(conf)
+            val os = fs.create(path, true)
+            try os.write(metricsJson(m, attempt).getBytes(StandardCharsets.UTF_8))
+            finally os.close()
           }
         }
       }
 
     extracted.write.mode(SaveMode.Append).parquet(s"${cfg.outPath}/extracted")
 
-    import scala.jdk.CollectionConverters._
-    val rows = acc.value.asScala.toSeq
-      .groupBy(m => (m.run_id, m.partition_id)).map(_._2.head).toSeq
-    if (rows.nonEmpty)
-      spark.createDataset(rows).write.mode(SaveMode.Append)
-        .parquet(s"${cfg.outPath}/metrics")
+    // compact sidecars → metrics parquet (dedupe retries: max attempt wins)
+    val rawPath = new org.apache.hadoop.fs.Path(rawDir)
+    val fs = rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(rawPath)) {
+      val raw = spark.read
+        .schema("run_id string, partition_id int, docs_parsed long, " +
+          "bytes_tokenized long, extraction_failures long, wall_ms long, attempt int")
+        .json(rawDir)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("run_id", "partition_id").orderBy(col("attempt").desc)
+      val rows = raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("run_id", "partition_id", "docs_parsed", "bytes_tokenized",
+          "extraction_failures", "wall_ms")
+        .as[PartitionMetrics]
+      if (!rows.isEmpty)
+        rows.write.mode(SaveMode.Append).parquet(s"${cfg.outPath}/metrics")
+      fs.delete(rawPath, true)
+    }
 
     val metricsPath = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/metrics")
-    val fs = metricsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(metricsPath)) 0L
     else readMetrics(spark, cfg)
       .agg(coalesce(sum(col("docs_parsed")), lit(0L))).as[Long].head()

@@ -54,6 +54,19 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val mismatches = joined.filter(org.apache.spark.sql.functions.col("got") =!= org.apache.spark.sql.functions.col("text")).count()
     assert(mismatches == 0)
 
+    // executor-side lineage parity: bytes_tokenized must reconcile with an
+    // independent aggregation over the input, and the raw sidecar dir must
+    // be compacted away (the driver never accumulated these rows)
+    val bytesAll = m.map(_.bytes_tokenized).sum
+    val wantBytes = spark.read.parquet(pagesPath)
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.octet_length(
+          org.apache.spark.sql.functions.col("html")))).head.getLong(0)
+    assert(bytesAll == wantBytes, "sigma bytes_tokenized == input html bytes")
+    assert(!new java.io.File(s"$outPath/metrics_raw").exists() ||
+      new java.io.File(s"$outPath/metrics_raw").list().isEmpty,
+      "raw metric sidecars compacted and removed")
+
     // re-running with nothing to do processes zero docs
     ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "r3"))
     val docsR3 = ExtractionJob.readMetrics(spark, JobConfig(pagesPath, outPath))
