@@ -83,27 +83,27 @@ object LayoutQueries {
     (url, kept.length, paras.length - kept.length)
   }
 
-  /** Text attributes (bold/italic/underline/strike/heading) per block —
-    * textualAttribute analogue. */
-  def textAttributes(url: String, html: Array[Byte]): Seq[(String, Int, String, Int, Int, Int, Int, Int, Int)] = {
+  /** Text attributes (bold/italic/underline/strike/color/heading) per
+    * block — textualAttribute analogue. */
+  def textAttributes(url: String, html: Array[Byte]): Seq[(String, Int, String, Int, Int, Int, Int, Int, Int, String, Int)] = {
     val dom = graft.html.Dom.parse(html)
     graft.extract.TextAttributes.blockAttrs(dom).map { a =>
       (url, a.idx, a.tag, a.chars, a.boldChars, a.italicChars,
-        a.underlineChars, a.strikeChars, a.fontSize)
+        a.underlineChars, a.strikeChars, a.coloredChars, a.fontColor, a.fontSize)
     }
   }
 
   /** Per-page style-context totals (the l7 query shape): summed in the
     * page transform — no shuffle, the per-url grouping is free. */
-  def textAttrTotals(url: String, html: Array[Byte]): (String, Long, Long, Long, Long, Long, Long) = {
+  def textAttrTotals(url: String, html: Array[Byte]): (String, Long, Long, Long, Long, Long, Long, Long) = {
     val dom = graft.html.Dom.parse(html)
-    var chars = 0L; var b = 0L; var i = 0L; var u = 0L; var s = 0L; var hd = 0L
+    var chars = 0L; var b = 0L; var i = 0L; var u = 0L; var s = 0L; var hd = 0L; var c = 0L
     graft.extract.TextAttributes.blockAttrs(dom).foreach { a =>
       chars += a.chars; b += a.boldChars; i += a.italicChars
-      u += a.underlineChars; s += a.strikeChars
+      u += a.underlineChars; s += a.strikeChars; c += a.coloredChars
       if (a.fontSize > 0) hd += a.chars
     }
-    (url, chars, b, i, u, s, hd)
+    (url, chars, b, i, u, s, hd, c)
   }
 
   /** F1/F2/F9: detector-side filter chain over a deterministic box set

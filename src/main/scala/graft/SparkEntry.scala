@@ -16,7 +16,7 @@ import graft.text.{LangId, ScriptId, TextOps}
   *
   * The `pages` table (BASELINE.json input_hint shape) is synthesised
   * deterministically (PageGen, seed 42) and materialised under
-  * /root/repo/data/pages_v2/<sf>/ so the DuckDB oracle can read the very
+  * /root/repo/data/pages_<ver>/<sf>/ so the DuckDB oracle can read the very
   * same parquet; `pages.text` carries the generator's golden extraction,
   * so `x1_extract_text` is a true byte-identity check of the extractor
   * through the driver's hash compare. Golden sidecar tables
@@ -149,7 +149,7 @@ object SparkEntry {
       pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
         .map { case (u, h) => LayoutQueries.textAttrTotals(u, h) }
         .toDF("url", "chars", "bold_chars", "italic_chars",
-          "underline_chars", "strike_chars", "heading_chars")
+          "underline_chars", "strike_chars", "heading_chars", "colored_chars")
     }),
 
     // ---- multimodal plumbing (html bytes stand in for media payloads) ---
@@ -341,7 +341,8 @@ object SparkEntry {
                CAST(italic_chars AS BIGINT) AS italic_chars,
                CAST(underline_chars AS BIGINT) AS underline_chars,
                CAST(strike_chars AS BIGINT) AS strike_chars,
-               CAST(heading_chars AS BIGINT) AS heading_chars
+               CAST(heading_chars AS BIGINT) AS heading_chars,
+               CAST(colored_chars AS BIGINT) AS colored_chars
              FROM $metaG"""),
       "l9_table_structure" ->
         (s"""SELECT url, n_tables, table_rows AS nrows, table_cells AS ncells,

@@ -6,10 +6,11 @@ import graft.html.Dom
   * textual-attribute classifier (reference: server/modules/main/
   * textualAttribute.py:295-335, which runs a CNN per word crop and emits
   * `{bold, italic}` attributes, and server/modules/iitb/textattrib/
-  * models.py:46-50, whose FontRegion additionally carries fontSize and
-  * fontDecoration). Here the markup itself carries the ground truth: per
-  * block, the non-whitespace character counts under bold/italic/underline/
-  * strike contexts, plus a font size derived from the heading level.
+  * models.py:46-50, whose FontRegion additionally carries fontSize,
+  * fontColor and fontDecoration). Here the markup itself carries the
+  * ground truth: per block, the non-whitespace character counts under
+  * bold/italic/underline/strike/colored contexts, a font size derived
+  * from the heading level, and the majority `<font color>` value.
   *
   * Counting is per DOM text node over NON-WHITESPACE characters only, so
   * the counts are independent of how inline markup splits text nodes
@@ -19,14 +20,17 @@ object TextAttributes {
   final case class BlockAttrs(idx: Int, tag: String, chars: Int,
                               boldChars: Int, italicChars: Int,
                               underlineChars: Int, strikeChars: Int,
+                              coloredChars: Int, fontColor: String,
                               fontSize: Int) {
     /** Majority-styled block → attribute true (the reference flags whole
       * words; blocks aggregate by character majority). Decoration string
-      * mirrors FontRegion.fontDecoration. */
+      * mirrors FontRegion.fontDecoration; fontColor is the block's
+      * most-frequent explicit color (document order on ties). */
     def attributes: Map[String, String] = Map(
       "bold" -> (2 * boldChars > chars).toString,
       "italic" -> (2 * italicChars > chars).toString,
       "fontSize" -> fontSize.toString,
+      "fontColor" -> fontColor,
       "fontDecoration" ->
         (if (2 * underlineChars > chars) "underline"
          else if (2 * strikeChars > chars) "line-through"
@@ -65,16 +69,25 @@ object TextAttributes {
     var italic = 0
     var under = 0
     var strike = 0
+    var colored = 0
     var curTag = "#root"
+    // insertion-ordered per-color char counts within the current block
+    var colorCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
 
     def flush(): Unit = {
-      if (chars > 0)
+      if (chars > 0) {
+        val majority =
+          if (colorCounts.isEmpty) ""
+          else colorCounts.maxBy(_._2)._1 // LinkedHashMap: first max wins
         out += BlockAttrs(out.length, curTag, chars, bold, italic, under,
-          strike, fontSizeOf(curTag))
-      chars = 0; bold = 0; italic = 0; under = 0; strike = 0
+          strike, colored, majority, fontSizeOf(curTag))
+      }
+      chars = 0; bold = 0; italic = 0; under = 0; strike = 0; colored = 0
+      colorCounts = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     }
 
-    def walk(node: Int, inB: Boolean, inI: Boolean, inU: Boolean, inS: Boolean): Unit = {
+    def walk(node: Int, inB: Boolean, inI: Boolean, inU: Boolean,
+             inS: Boolean, color: String): Unit = {
       if (dom.isText(node)) {
         val t = dom.text(node)
         var n = 0
@@ -85,6 +98,10 @@ object TextAttributes {
         if (inI) italic += n
         if (inU) under += n
         if (inS) strike += n
+        if (color.nonEmpty && n > 0) {
+          colored += n
+          colorCounts.updateWith(color) { c => Some(c.getOrElse(0) + n) }
+        }
       } else {
         val tag = dom.tag(node)
         if (!skip.contains(tag)) {
@@ -92,7 +109,7 @@ object TextAttributes {
             flush()
             val saved = curTag
             curTag = tag
-            dom.foreachChild(node)(walk(_, inB, inI, inU, inS))
+            dom.foreachChild(node)(walk(_, inB, inI, inU, inS, color))
             flush()
             curTag = saved
           } else {
@@ -100,12 +117,15 @@ object TextAttributes {
             val i = inI || italicTags.contains(tag)
             val u = inU || underlineTags.contains(tag)
             val s = inS || strikeTags.contains(tag)
-            dom.foreachChild(node)(walk(_, b, i, u, s))
+            val c =
+              if (tag == "font") dom.attr(node, "color").getOrElse(color)
+              else color
+            dom.foreachChild(node)(walk(_, b, i, u, s, c))
           }
         }
       }
     }
-    walk(dom.root, inB = false, inI = false, inU = false, inS = false)
+    walk(dom.root, inB = false, inI = false, inU = false, inS = false, color = "")
     flush()
     out.toVector
   }

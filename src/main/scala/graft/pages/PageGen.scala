@@ -24,7 +24,7 @@ final case class SpanGolden(url: String, idx: Int, kind: String, tag: String,
 final case class PageMeta(url: String, n_spans: Int,
                           chars: Long, bold_chars: Long, italic_chars: Long,
                           underline_chars: Long, strike_chars: Long,
-                          heading_chars: Long,
+                          heading_chars: Long, colored_chars: Long,
                           n_tables: Int, table_rows: Int, table_cells: Int,
                           cell_area: Long,
                           n_lines: Int, line_h_sum: Long)
@@ -104,8 +104,10 @@ object PageGen {
     var under = 0L
     var strike = 0L
     var heading = 0L
+    var colored = 0L
     def add(s: String, h: Boolean = false, b: Boolean = false,
-            i: Boolean = false, u: Boolean = false, st: Boolean = false): Unit = {
+            i: Boolean = false, u: Boolean = false, st: Boolean = false,
+            c: Boolean = false): Unit = {
       var n = 0
       var k = 0
       while (k < s.length) { if (!Character.isWhitespace(s.charAt(k))) n += 1; k += 1 }
@@ -115,8 +117,13 @@ object PageGen {
       if (i) italic += n
       if (u) under += n
       if (st) strike += n
+      if (c) colored += n
     }
   }
+
+  /** fontColor palette for `<font color>` spans (FontRegion.fontColor
+    * analogue). */
+  private val fontColors = Vector("#c0392b", "#1a6b99", "#2d7a2d")
 
   private val vocabEn = Vector("the", "quick", "analysis", "shows", "that",
     "modern", "systems", "process", "large", "volumes", "of", "data",
@@ -181,6 +188,11 @@ object PageGen {
         else if (r.nextInt(25) == 0) { hb ++= s"<i>$w</i>"; attr.add(w, h = heading, i = true) }
         else if (r.nextInt(25) == 0) { hb ++= s"<u>$w</u>"; attr.add(w, h = heading, u = true) }
         else if (r.nextInt(25) == 0) { hb ++= s"<s>$w</s>"; attr.add(w, h = heading, st = true) }
+        else if (r.nextInt(25) == 0) {
+          val c = r.pick(fontColors)
+          hb ++= s"""<font color="$c">$w</font>"""
+          attr.add(w, h = heading, c = true)
+        }
         else { hb ++= w; attr.add(w, h = heading) }
         eb ++= w
       }
@@ -346,6 +358,7 @@ object PageGen {
     val expectedText = expected.iterator.map(_._2).mkString("\n")
     val meta = PageMeta(url, expected.length,
       attr.total, attr.bold, attr.italic, attr.under, attr.strike, attr.heading,
+      attr.colored,
       nTables, tableRows, tableCells, cellArea,
       n_lines = expected.length, line_h_sum = lineHSum)
 
