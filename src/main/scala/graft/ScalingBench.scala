@@ -69,39 +69,46 @@ object ScalingBench {
         .map(_.getCollectionTime).sum
     }
 
-    for (rep <- 1 to reps; cpus <- levels) {
+    // Per-LEVEL session blocks: one SparkSession per level runs an untimed
+    // full-size warmup job, then `reps` timed jobs. Measured (r2): a fresh
+    // session pays codegen-class + JIT warm-up that a narrow level hides in
+    // its long wall time but costs the wide level ~40% of its first run
+    // (local[16] measured 3.6k → 6.9k docs/s across per-session reps, vs a
+    // steady 7.9-8.0k when one session runs the job repeatedly). Steady
+    // state is what a long-running 100 TB job sees, so that is what each
+    // level must report. Blocks still alternate (two passes over the level
+    // list) so slow host drift affects all levels symmetrically.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    var runSeq = 0
+    for (pass <- 1 to 2; cpus <- levels) {
       val spark = session(cpus)
-      import spark.implicits._
-      // warmup (JIT + page cache)
-      spark.read.parquet(pagesPath).select("url", "html")
-        .limit((nDocs / 20).toInt.max(500))
-        .as[(String, Array[Byte])]
-        .mapPartitions(_.map { case (u, h) => graft.extract.Extractor.extract(u, h) })
-        .write.mode("overwrite").format("noop").save()
-
-      val out = scratch match {
-        case Some(dir) =>
-          val f = new java.io.File(dir, s"out-r$rep-c$cpus"); f.mkdirs(); f.getAbsolutePath
-        case None => java.nio.file.Files.createTempDirectory(s"scale$cpus").toString
+      for (rep <- 0 to reps) { // rep 0 = untimed warmup
+        runSeq += 1
+        val out = scratch match {
+          case Some(dir) =>
+            val f = new java.io.File(dir, s"out-$runSeq"); f.mkdirs(); f.getAbsolutePath
+          case None => java.nio.file.Files.createTempDirectory(s"scale$cpus").toString
+        }
+        val g0 = gcMs
+        val t0 = System.nanoTime()
+        ExtractionJob.run(spark, JobConfig(pagesPath, out, runId = s"s$runSeq"))
+        val sec = (System.nanoTime() - t0) / 1e9
+        val gcSec = (gcMs - g0) / 1000.0
+        val dps = nDocs / sec
+        if (rep > 0) {
+          all += ((rep, cpus, dps))
+          if (dps > best.getOrElse(cpus, 0.0)) best(cpus) = dps
+        }
+        val tag = if (rep == 0) "warm" else s"rep$rep"
+        System.err.println(f"[scaling] pass=$pass cpus=$cpus%2d $tag%5s ${sec}%7.1f s  $dps%8.1f docs/s  (gc $gcSec%.1f s)")
+        rm(new java.io.File(out))
       }
-      val g0 = gcMs
-      val t0 = System.nanoTime()
-      ExtractionJob.run(spark, JobConfig(pagesPath, out, runId = s"r$rep-c$cpus"))
-      val sec = (System.nanoTime() - t0) / 1e9
-      val gcSec = (gcMs - g0) / 1000.0
-      val dps = nDocs / sec
-      all += ((rep, cpus, dps))
-      if (dps > best.getOrElse(cpus, 0.0)) best(cpus) = dps
-      System.err.println(f"[scaling] rep=$rep cpus=$cpus%2d ${sec}%7.1f s  $dps%8.1f docs/s  (gc $gcSec%.1f s)")
       spark.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
-      // clean up the temp output to keep the disk flat across reps
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete()
-      }
-      rm(new java.io.File(out))
     }
 
     def eff(n: Int, n4: Int): Option[Double] =

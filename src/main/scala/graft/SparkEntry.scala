@@ -223,6 +223,8 @@ object SparkEntry {
     "t8_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
     "t9_langid" -> ((s, d) => LangId.predict(docs(s, d))),
     "t11_lsh_pairs" -> ((s, d) => TextOps.minhashPairs(docs(s, d))),
+    "t12_quality_signals" -> ((s, d) => TextOps.qualitySignals(docs(s, d))),
+    "t13_regex_tokens" -> ((s, d) => TextOps.regexTokens(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- similarity search (embeddings table) ---------------------------
@@ -413,6 +415,21 @@ object SparkEntry {
              SELECT a, b, inter, sa.n + sb.n - inter AS un
              FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
              WHERE inter * 10 >= (sa.n + sb.n - inter) * 3"""),
+      "t12_quality_signals" ->
+        (s"""SELECT doc_id,
+               length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{-~]', '', 'g')) AS punct_chars,
+               length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS upper_chars,
+               length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digit_chars,
+               length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                 x -> list_contains(STOPS, x))) AS stop_tokens,
+               length(string_split_regex(trim(text), '\\s+')) AS n_tokens
+             FROM documents""").replace("STOPS", "['the', 'a', 'an', 'and', 'or', 'of', 'to', 'in', 'is', 'are', 'was', 'for', 'on', 'with', 'as', 'at', 'by', 'it', 'that', 'this']"),
+      "t13_regex_tokens" ->
+        ("""SELECT doc_id,
+              length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS n_regex_tokens,
+              length(regexp_extract_all(text, '[a-zA-Z]+')) AS n_word_tokens,
+              length(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
+            FROM documents"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

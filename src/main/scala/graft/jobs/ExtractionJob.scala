@@ -23,7 +23,8 @@ final case class JobConfig(
     pagesPath: String,
     outPath: String,
     saltBuckets: Int = 64,
-    runId: String = "run")
+    runId: String = "run",
+    metricsEnabled: Boolean = true)
 
 /** The distributed extraction job (SURVEY.md §4 physical plan):
   *
@@ -135,8 +136,18 @@ object ExtractionJob {
     }
     val confBc = spark.sparkContext.broadcast(confEntries)
 
+    val metricsOn = cfg.metricsEnabled
     val extracted: Dataset[Extracted] =
       work.as[(String, Array[Byte])].mapPartitions { it =>
+        if (!metricsOn) {
+          it.map { case (url, html) =>
+            try Extractor.extract(url, html)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                Extracted(url, "", Array.empty, Array.empty)
+            }
+          }
+        } else {
         val t0 = System.nanoTime()
         var docs = 0L
         var bytes = 0L
@@ -175,6 +186,7 @@ object ExtractionJob {
             try os.write(metricsJson(m, attempt).getBytes(StandardCharsets.UTF_8))
             finally os.close()
           }
+        }
         }
       }
 

@@ -145,4 +145,44 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5Hash60(concat_ws(" ", tokens(col("text")))).as("fp"))
+
+  /** English stopwords for the ratio signal (non-distinct occurrence
+    * count, unlike LangId's distinct-hit profiles). */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "that", "this")
+
+  private def charClassCount(c: Column, cls: String): Column =
+    length(c) - length(regexp_replace(c, cls, ""))
+
+  /** Quality signals beyond t2: punctuation / uppercase / digit char
+    * counts and the (non-distinct) stopword token count — the classic
+    * length/punct/stopword-ratio quality scorer, integer-exact so every
+    * column ships with a DuckDB oracle. Ratios are counts over n_tokens /
+    * n_chars, left to the consumer (integer counts hash-compare exactly;
+    * float ratios would not). */
+  def qualitySignals(docs: DataFrame): DataFrame = {
+    val w = tokens(lower(col("text")))
+    docs.select(col("doc_id"),
+      charClassCount(col("text"), "[!-/:-@\\[-`{-~]").as("punct_chars"),
+      charClassCount(col("text"), "[A-Z]").as("upper_chars"),
+      charClassCount(col("text"), "[0-9]").as("digit_chars"),
+      size(filter(w, t => array_contains(array(stopwords.map(lit): _*), t)))
+        .as("stop_tokens"),
+      size(tokens(col("text"))).as("n_tokens"))
+  }
+
+  /** BPE-ish regex tokenization: letter runs, digit runs, and single
+    * non-alphanumeric marks — the GPT-2 pre-tokenizer shape reduced to a
+    * cross-engine-safe ASCII pattern. Counts per class, integer-exact. */
+  val regexTokenPattern = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+  def regexTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(regexTokenPattern), lit(0)))
+        .as("n_regex_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0)))
+        .as("n_word_tokens"),
+      size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
+        .as("n_num_tokens"))
 }
