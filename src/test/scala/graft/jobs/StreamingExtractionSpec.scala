@@ -40,4 +40,58 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .join(spark.read.parquet(pagesDir).select("url", "text"), "url")
     assert(joined.filter(col("got") =!= col("text")).count() == 0)
   }
+
+  test("watermarked windowed metrics and mapGroupsWithState host progress") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val source = MemoryStream[graft.pages.PageRow]
+    val pages = source.toDF()
+
+    // windowed agg: update mode into a memory sink
+    val winQ = StreamingExtraction.windowedLangMetrics(pages, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("win_metrics")
+      .outputMode("update").start()
+    // host state: running totals per crawl host
+    val hostQ = StreamingExtraction.hostProgress(spark, pages)
+      .writeStream.format("memory").queryName("host_progress")
+      .outputMode("update").start()
+
+    val batch1 = graft.pages.PageGen.pages(42L, 0, 40).toSeq
+    source.addData(batch1: _*)
+    winQ.processAllAvailable()
+    hostQ.processAllAvailable()
+
+    val win1 = spark.sql("SELECT sum(docs) FROM win_metrics").head.getLong(0)
+    assert(win1 == 40, s"windowed docs after batch 1: $win1")
+
+    // second micro-batch: totals must be RUNNING (state carried across)
+    val batch2 = graft.pages.PageGen.pages(42L, 40, 70).toSeq
+    source.addData(batch2: _*)
+    winQ.processAllAvailable()
+    hostQ.processAllAvailable()
+
+    // host_progress: take the LAST update per host, totals must equal the
+    // batch-independent per-host counts over all 70 pages
+    val latest = spark.sql(
+      """SELECT host, max(docs) AS docs FROM host_progress GROUP BY host""")
+      .as[(String, Long)].collect().toMap
+    val want = (batch1 ++ batch2).groupBy(p =>
+      "//([^/]+)/".r.findFirstMatchIn(p.url).get.group(1))
+      .view.mapValues(_.size.toLong).toMap
+    assert(latest == want, "running per-host totals reconcile after two batches")
+
+    // window metrics: per-lang totals across updates reconcile too
+    val langTotals = spark.sql(
+      """SELECT lang, max(docs) FROM win_metrics GROUP BY lang""")
+    // warc_ts advances 1s per page -> all pages share one 1h window, so the
+    // max update per lang is the running total
+    val gotLang = langTotals.as[(String, Long)].collect().toMap
+    val wantLang = (batch1 ++ batch2).groupBy(_.lang).view.mapValues(_.size.toLong).toMap
+    assert(gotLang == wantLang, "windowed per-lang totals reconcile")
+
+    winQ.stop(); hostQ.stop()
+  }
 }
