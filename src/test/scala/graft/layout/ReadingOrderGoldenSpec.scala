@@ -125,6 +125,14 @@ class ReadingOrderGoldenSpec extends AnyFunSuite {
     val ordered = Paragraphs.paragraphOrder(after)
     checkParas(ordered, g.get("paras_ordered"), "ordered", withBB = true, withOrder = true)
 
+    // W4: top-down/left-right paragraph sort (paragraph.get_paragraph_order)
+    val w4 = Paragraphs.getParagraphOrder(after)
+    assert(w4.map(_.order) == arr(g.get("w4_orders")).map(_.asInt), "w4 orders")
+
+    // W5-alt: column_order chain walk (column_utils.column_order)
+    val w5 = Paragraphs.columnOrder(after)
+    assert(w5.map(_.order) == arr(g.get("w5_column_orders")).map(_.asInt), "w5 column orders")
+
     // W1/W2 emit: final word order over paragraphs sorted by order
     val regions = WordOrder.finalWordOrder(
       ordered.sortBy(_.order)(Ordering.Int).map(_.members), words)

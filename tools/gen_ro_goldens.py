@@ -181,6 +181,7 @@ with silent:
     nu = load("neighbor_utils")
     para = load("paragraph")
     nro = load("new_read_order")
+    cu = load("column_utils")
 
 # ------------------------------------------------------------- the chain --
 
@@ -220,6 +221,12 @@ def run_chain(name, boxes_xywh, page_w, page_h):
         ordered = para.paragraph_order(after_pinp.copy())
         comp_sorted = ordered.sort_values("Order", kind="mergesort")
         _, regions = nro.get_final_word_order(comp_sorted, eu, img, "/tmp/ro_out", False)
+        # W4: top-down/left-right paragraph sort (returns the component df)
+        w4 = para.get_paragraph_order(after_pinp.copy(), img, "/tmp/ro_out")
+        # W5-alt: chain walk with order incremented on re-seed
+        w5 = cu.column_order(after_pinp.copy())
+        # (get_col returns None in the reference — visualisation only — so
+        # no golden is derivable for it; its port is source-pinned.)
 
     def link(v):
         return [round(float(v[0]), 6), int(v[1])]
@@ -257,6 +264,8 @@ def run_chain(name, boxes_xywh, page_w, page_h):
         "paras_before_pinp": para_rows(before_pinp),
         "paras_after_pinp": para_rows(after_pinp, with_bb=True),
         "paras_ordered": para_rows(ordered, with_bb=True, with_order=True),
+        "w4_orders": [int(o) for o in w4["Order"]],
+        "w5_column_orders": [int(o) for o in w5["Order"]],
         "regions": [
             {"x": r["bounding_box"]["x"], "y": r["bounding_box"]["y"],
              "w": r["bounding_box"]["w"], "h": r["bounding_box"]["h"],
