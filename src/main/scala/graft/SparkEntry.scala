@@ -224,6 +224,7 @@ object SparkEntry {
     "t9_langid" -> ((s, d) => LangId.predict(docs(s, d))),
     "t11_lsh_pairs" -> ((s, d) => TextOps.minhashPairs(docs(s, d))),
     "t12_quality_signals" -> ((s, d) => TextOps.qualitySignals(docs(s, d))),
+    "t14_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(docs(s, d))),
     "t13_regex_tokens" -> ((s, d) => TextOps.regexTokens(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
@@ -430,6 +431,28 @@ object SparkEntry {
               length(regexp_extract_all(text, '[a-zA-Z]+')) AS n_word_tokens,
               length(regexp_extract_all(text, '[0-9]+')) AS n_num_tokens
             FROM documents"""),
+      "t14_simhash_pairs" -> {
+        val simhashSql =
+          (s"""SELECT doc_id, (
+              ${(0 until 16).map(b =>
+                s"(CASE WHEN sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) > 0 THEN ${1L << b} ELSE 0 END)")
+                .mkString(" + ")}
+             ) AS simhash
+             FROM (SELECT doc_id, ${h60("t.w")} AS h
+                   FROM (SELECT doc_id, unnest($tok) AS w FROM documents) t)
+             GROUP BY doc_id""")
+        s"""WITH sig AS ($simhashSql),
+            banded AS (
+              SELECT doc_id, simhash, 0 AS band, simhash % 256 AS key FROM sig
+              UNION ALL
+              SELECT doc_id, simhash, 1 AS band, simhash // 256 AS key FROM sig)
+            SELECT a, b, hamming FROM (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b,
+                CAST(bit_count(xor(l.simhash, r.simhash)) AS INT) AS hamming
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+            WHERE hamming <= 3"""
+      },
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

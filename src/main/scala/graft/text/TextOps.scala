@@ -105,6 +105,36 @@ object TextOps {
     g.select(col("doc_id"), sim.as("simhash"))
   }
 
+  /** SimHash near-duplicate candidate pairs, banded: the 16-bit signature
+    * splits into two 8-bit halves; by pigeonhole any pair at hamming ≤ 1
+    * shares a half exactly, so equality-joining on the halves finds all
+    * such pairs (and, approximately, higher-distance pairs whose diffs
+    * cluster in one half — classic banded-LSH semantics). Emitted when
+    * bit_count(xor) ≤ maxHamming. Equi-join on the band key — never the
+    * all-pairs cross join.
+    *
+    * Scale note: the 16-bit signature (kept oracle-small here) gives only
+    * 256 buckets per band — at corpus scale use a 64-bit signature with
+    * 4×16-bit bands (65 536 buckets/band, same plan shape), or the
+    * per-key fanout goes quadratic the same way an unguarded shingle
+    * join does. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val banded = Seq(0, 1).map { b =>
+      val half =
+        if (b == 0) col("simhash").bitwiseAND(255L)
+        else shiftright(col("simhash"), 8)
+      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"), half.as("key"))
+    }.reduce(_ unionByName _)
+    banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a"), col("r.doc_id").as("b"),
+        bit_count(col("l.simhash").bitwiseXOR(col("r.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** N-gram Jaccard near-dup pairs: explode distinct 3-shingles, self-join
     * on shingle, jaccard = inter / (|A|+|B|-inter); emitted when
     * 10·inter ≥ 3·union (≥ 0.3), integer-exact.

@@ -82,6 +82,16 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.values.forall(v => v >= 0 && v < (1L << 16)))
   }
 
+  test("simhash banded pairs: identical docs pair at hamming 0, disjoint docs don't pair") {
+    val d = docs(1L -> "spark catalyst tungsten codegen shuffle",
+      2L -> "spark catalyst tungsten codegen shuffle",
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo nn mm")
+    val pairs = TextOps.simhashPairs(d, maxHamming = 0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)), s"identical docs must pair: ${pairs.toSeq}")
+    assert(pairs.forall { case (a, b, h) => a < b && h == 0 })
+  }
+
   test("jaccard pairs: integer-exact intersection and union") {
     // doc1 shingles: {a b c, b c d, c d e}; doc2: {a b c, b c d, c d X}
     val d = docs(1L -> "a b c d e", 2L -> "a b c d X", 3L -> "p q r s t")
