@@ -82,6 +82,17 @@ object Dom {
       "option" -> Set("option"))
   }
 
+  /** Open-element depth cap (browsers cap around 512): an element opening
+    * beyond this depth still becomes a node but opens no scope, so its
+    * children attach to the capped ancestor. This bounds the TREE depth,
+    * which keeps every recursive consumer (block builder, attribute walk,
+    * table scan) stack-safe on adversarial input — a crawl page of 100k
+    * nested divs would otherwise throw StackOverflowError, an Error the
+    * job's NonFatal handler cannot eat, killing the task (and, after
+    * retries, the 10^12-row job). Also bounds the stray-end-tag scan,
+    * which is O(depth) per end token. */
+  val MaxDepth = 512
+
   /** Parse bytes → DOM in one streaming pass. Never throws on malformed
     * input: stray end tags are ignored unless a matching ancestor is open,
     * in which case everything above it is popped. */
@@ -97,8 +108,9 @@ object Dom {
     val nextSibling = new IntBuf(hint); nextSibling.add(-1)
     val lastChild = new IntBuf(hint); lastChild.add(-1)
 
-    // open-element stack of node indices
+    // open-element stack of node indices (depth tracked for the cap)
     var stack = List(0)
+    var depth = 1
 
     def addNode(t: String, txt: String, as: List[(String, String)]): Int = {
       val id = tag.length
@@ -114,17 +126,23 @@ object Dom {
     Tokenizer.tokenizeTo(bytes, {
       case HtmlToken.Start(name, as, selfClosing, _) =>
         implicitClose.get(name).foreach { closes =>
-          if (stack.nonEmpty && closes.contains(tag(stack.head)))
+          if (stack.nonEmpty && closes.contains(tag(stack.head))) {
             stack = stack.tail
+            depth -= 1
+          }
         }
         val id = addNode(name, "", as)
-        if (!selfClosing && !voidTags.contains(name)) stack ::= id
+        if (!selfClosing && !voidTags.contains(name) && depth < MaxDepth) {
+          stack ::= id
+          depth += 1
+        }
 
       case HtmlToken.End(name, _) =>
         if (stack.exists(ix => tag(ix) == name)) {
-          while (tag(stack.head) != name) stack = stack.tail
+          while (tag(stack.head) != name) { stack = stack.tail; depth -= 1 }
           stack = stack.tail
-          if (stack.isEmpty) stack = List(0)
+          depth -= 1
+          if (stack.isEmpty) { stack = List(0); depth = 1 }
         }
 
       case HtmlToken.Text(raw, _) =>
