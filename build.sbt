@@ -29,4 +29,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // 32 threads of parse/DOM allocation under an 8g heap is GC-bound; the
   // host has 128 GiB — give the single-JVM local-mode "cluster" headroom
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-)
+) ++ sys.env.get("SPARK_GRAFT_JFR").map(f =>
+  s"-XX:StartFlightRecording=delay=20s,duration=120s,filename=$f,settings=profile").toSeq
