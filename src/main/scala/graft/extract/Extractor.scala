@@ -27,7 +27,8 @@ final case class Span(kind: String, label: String, start: Long, end: Long,
 final case class BlockOut(label: String, order: Int, line: Int,
                           x: Int, y: Int, w: Int, h: Int)
 final case class Extracted(url: String, text: String,
-                           spans: Array[Span], blocks: Array[BlockOut])
+                           spans: Array[Span], blocks: Array[BlockOut],
+                           failed: Boolean = false)
 
 /** Main-content extraction: streaming tokenizer → DOM → block scoring
   * (text/link density + tag/class heuristics à la Boilerpipe/Readability)

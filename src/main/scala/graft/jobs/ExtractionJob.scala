@@ -24,7 +24,8 @@ final case class JobConfig(
     outPath: String,
     saltBuckets: Int = 64,
     runId: String = "run",
-    metricsEnabled: Boolean = true)
+    metricsEnabled: Boolean = true,
+    retryFailed: Boolean = false)
 
 /** The distributed extraction job (SURVEY.md §4 physical plan):
   *
@@ -45,14 +46,24 @@ object ExtractionJob {
 
   /** Urls already committed to the extracted table, or None on first run.
     * Existence is probed through the Hadoop FileSystem of the path, so the
-    * same code works on hdfs:// and s3:// outputs, not just local disk. */
+    * same code works on hdfs:// and s3:// outputs, not just local disk.
+    * With `retryFailed` the rows whose extraction failed (committed with
+    * `failed = true` so a crash loop cannot re-attempt them forever) are
+    * NOT treated as committed — the next run re-extracts exactly them. */
   def committedUrls(spark: SparkSession, cfg: JobConfig): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/extracted")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(path) &&
       fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
-    if (hasData) Some(spark.read.parquet(s"${cfg.outPath}/extracted").select("url"))
-    else None
+    if (!hasData) None
+    else {
+      val extracted = spark.read.parquet(s"${cfg.outPath}/extracted")
+      val committed =
+        if (cfg.retryFailed && extracted.columns.contains("failed"))
+          extracted.filter(!col("failed"))
+        else extracted
+      Some(committed.select("url"))
+    }
   }
 
   /** The work set: pages minus committed (resume anti-join), salted.
@@ -89,7 +100,7 @@ object ExtractionJob {
         try Extractor.extract(url, html)
         catch {
           case scala.util.control.NonFatal(_) =>
-            Extracted(url, "", Array.empty, Array.empty) // failure marker: empty text
+            Extracted(url, "", Array.empty, Array.empty, failed = true)
         }
       }
     }
@@ -144,7 +155,7 @@ object ExtractionJob {
             try Extractor.extract(url, html)
             catch {
               case scala.util.control.NonFatal(_) =>
-                Extracted(url, "", Array.empty, Array.empty)
+                Extracted(url, "", Array.empty, Array.empty, failed = true)
             }
           }
         } else {
@@ -161,7 +172,7 @@ object ExtractionJob {
           catch {
             case scala.util.control.NonFatal(_) =>
               failures += 1
-              Extracted(url, "", Array.empty, Array.empty)
+              Extracted(url, "", Array.empty, Array.empty, failed = true)
           }
         }
         // wrap so the counter sidecar flushes after the partition is consumed

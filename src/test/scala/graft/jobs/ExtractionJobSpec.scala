@@ -74,6 +74,31 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(docsR3 == 0)
   }
 
+  test("retryFailed resume re-attempts failed rows, default resume does not") {
+    val s = spark
+    import s.implicits._
+    val base = s"$tmp/retry"
+    PagesTable.generate(spark, seed = 7L, n = 20, partitions = 2)
+      .write.parquet(s"$base/pages")
+    // fake a committed table where 3 urls failed
+    val committed = spark.read.parquet(s"$base/pages").select("url").as[String]
+      .collect().sorted
+    val rows = committed.zipWithIndex.map { case (u, i) =>
+      graft.extract.Extracted(u, if (i < 3) "" else "ok",
+        Array.empty, Array.empty, failed = i < 3)
+    }
+    spark.createDataset(rows.toSeq).write.parquet(s"$base/out/extracted")
+
+    val defaultPlan = ExtractionJob.planWorkSet(
+      spark, JobConfig(s"$base/pages", s"$base/out"))
+    assert(defaultPlan.count() == 0, "default resume treats failed rows as committed")
+
+    val retryPlan = ExtractionJob.planWorkSet(
+      spark, JobConfig(s"$base/pages", s"$base/out", retryFailed = true))
+    assert(retryPlan.select("url").as[String].collect().sorted.toSeq ==
+      committed.take(3).toSeq, "retryFailed re-extracts exactly the failed urls")
+  }
+
   test("work-set plan pushes column pruning to the scan and salts partitions") {
     val pagesPath = s"$tmp/pages"
     val plan = ExtractionJob.planWorkSet(spark, JobConfig(pagesPath, s"$tmp/out2"))
