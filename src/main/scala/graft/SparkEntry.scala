@@ -226,6 +226,7 @@ object SparkEntry {
     "t12_quality_signals" -> ((s, d) => TextOps.qualitySignals(docs(s, d))),
     "t14_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(docs(s, d))),
     "t13_regex_tokens" -> ((s, d) => TextOps.regexTokens(docs(s, d))),
+    "t15_winnow" -> ((s, d) => TextOps.winnow(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- similarity search (embeddings table) ---------------------------
@@ -453,6 +454,16 @@ object SparkEntry {
                 ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
             WHERE hamming <= 3"""
       },
+      "t15_winnow" ->
+        (s"""WITH g AS (SELECT doc_id,
+                unnest(generate_series(1, greatest(length(text) - 7, 1))) AS p, text
+              FROM documents),
+             h AS (SELECT doc_id, p, ${h60("substr(text, p, 8)")} AS h FROM g),
+             wm AS (SELECT doc_id,
+                min(h) OVER (PARTITION BY doc_id ORDER BY p
+                  ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+              FROM h)
+             SELECT DISTINCT doc_id, fp FROM wm"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

@@ -54,8 +54,12 @@ object Ann {
           lit(stride)) === 0)
       .select(col("vec_id").as("cell"), col("e").as("c"))
 
-  /** Auto-scaled cell count: ~√n cells keeps per-cell join work linear in
-    * n. Callers at known scale pass `cells` explicitly. */
+  /** Auto-scaled cell count: ~√n cells keeps per-cell JOIN work linear in
+    * n. Callers at known scale pass `cells` explicitly — note the
+    * assignment pass itself is O(n·cells) dot products, so at 10⁹+ vectors
+    * cap cells (e.g. 4096, still a ~2 MB broadcast) and raise nprobe, or
+    * assign hierarchically (coarse cell → fine cell, two broadcast
+    * passes); the join/shuffle shape is unchanged either way. */
   def autoCells(n: Long): Int = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
 
   /** ONE assignment pass: for every vector its `nprobe` nearest centroids

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text operators over a `documents(doc_id, text, lang, …)`
@@ -175,6 +176,30 @@ object TextOps {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       md5Hash60(concat_ws(" ", tokens(col("text")))).as("fp"))
+
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken): hash every
+    * character k-gram, slide a w-wide window over consecutive positions
+    * and keep each window's minimum hash; the distinct kept hashes are
+    * the document's fingerprint set. Guarantees any shared substring of
+    * length ≥ w+k-1 yields a shared fingerprint. All codegen'd built-ins:
+    * position explode → substring hash → frame-window min → distinct
+    * (one shuffle for the distinct; the window min is partition-local
+    * after the per-doc sort). */
+  def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))))
+          .as("p"),
+        col("text"))
+      .select(col("doc_id"), col("p"),
+        md5Hash60(col("text").substr(col("p"), lit(k))).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    grams
+      .withColumn("fp", min(col("h")).over(win))
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
 
   /** English stopwords for the ratio signal (non-distinct occurrence
     * count, unlike LangId's distinct-hit profiles). */
