@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   *     --pages  <path or catalog table of (url, warc_ts, html, text, lang)> \
   *     --out    <output root: writes <out>/extracted + <out>/metrics> \
   *     --salt   64        # salt buckets; 0 = no payload shuffle \
-  *     --run-id <id>      # lineage tag in the metrics table
+  *     --run-id <id>      # lineage tag in the metrics table \
+  *     --retry-failed true  # re-extract rows committed with failed=true
   *
   * Master/deploy-mode come from spark-submit; the session here only sets
   * job-level SQL conf. Re-running with the same --out resumes: committed
@@ -26,6 +27,7 @@ object ExtractMain {
     val out = opts.getOrElse("out", sys.error("--out required"))
     val salt = opts.get("salt").map(_.toInt).getOrElse(64)
     val runId = opts.getOrElse("run-id", s"run-${java.util.UUID.randomUUID()}")
+    val retryFailed = opts.get("retry-failed").exists(_.toBoolean)
 
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -40,7 +42,8 @@ object ExtractMain {
       .getOrCreate()
 
     val total = ExtractionJob.run(spark,
-      JobConfig(pages, out, saltBuckets = salt, runId = runId))
+      JobConfig(pages, out, saltBuckets = salt, runId = runId,
+        retryFailed = retryFailed))
     println(s"""{"run_id":"$runId","committed_docs":$total}""")
     spark.stop()
   }
