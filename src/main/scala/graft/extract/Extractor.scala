@@ -82,10 +82,11 @@ object Extractor {
 
   /** Collapse all whitespace runs to single spaces and trim. */
   def normalize(s: String): String = {
-    val sb = new java.lang.StringBuilder(s.length)
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
     var i = 0
     var pendingSpace = false
-    while (i < s.length) {
+    while (i < n) {
       val c = s.charAt(i)
       if (Character.isWhitespace(c)) pendingSpace = sb.length() > 0
       else {
@@ -95,6 +96,44 @@ object Extractor {
       i += 1
     }
     sb.toString
+  }
+
+  /** normalize() over a block buffer without the intermediate toString
+    * copy — a separate monomorphic body (a shared CharSequence loop makes
+    * charAt bimorphic on the hot path). */
+  private def normalizeSb(s: java.lang.StringBuilder): String = {
+    val n = s.length
+    val sb = new java.lang.StringBuilder(n)
+    var i = 0
+    var pendingSpace = false
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = sb.length() > 0
+      else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** length of normalize(s), computed without building the string. */
+  def normalizedLength(s: String): Int = {
+    val n = s.length
+    var len = 0
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) pendingSpace = len > 0
+      else {
+        if (pendingSpace) { len += 1; pendingSpace = false }
+        len += 1
+      }
+      i += 1
+    }
+    len
   }
 
   private def classTokensOf(dom: Dom, node: Int): Set[String] = {
@@ -130,11 +169,13 @@ object Extractor {
     }
 
     def flush(ctx: Ctx): Unit = {
-      val text = normalize(ctx.sb.toString)
-      if (text.nonEmpty)
-        out += Block(ctx.tag, labelOf(ctx.tag), text, math.min(ctx.linkChars, text.length),
-          ctx.classTokens, ctx.ancestorTags)
-      ctx.sb.setLength(0)
+      if (ctx.sb.length() > 0) {
+        val text = normalizeSb(ctx.sb)
+        if (text.nonEmpty)
+          out += Block(ctx.tag, labelOf(ctx.tag), text, math.min(ctx.linkChars, text.length),
+            ctx.classTokens, ctx.ancestorTags)
+        ctx.sb.setLength(0)
+      }
       ctx.linkChars = 0
     }
 
@@ -145,7 +186,7 @@ object Extractor {
       if (dom.isText(node)) {
         val t = dom.text(node)
         ctx.sb.append(t)
-        if (inLink) ctx.linkChars += normalize(t).length
+        if (inLink) ctx.linkChars += normalizedLength(t)
       } else {
         val tag = dom.tag(node)
         if (!skipTags.contains(tag)) {
