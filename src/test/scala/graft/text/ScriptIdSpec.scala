@@ -1,0 +1,53 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Unicode-range script identification on unambiguous snippets per
+  * script, plus tie/empty behaviour. */
+class ScriptIdSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder().master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("each script's snippet classifies to its script; empty text is unknown") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps",
+      2L -> "यह एक हिंदी वाक्य है",
+      3L -> "هذه جملة عربية قصيرة",
+      4L -> "这是一个中文句子",
+      5L -> "это русское предложение",
+      6L -> "12345 67890 ...",
+      7L -> "").toDF("doc_id", "text")
+    val got = ScriptId.predict(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(got(1L) == "latin")
+    assert(got(2L) == "devanagari")
+    assert(got(3L) == "arabic")
+    assert(got(4L) == "han")
+    assert(got(5L) == "cyrillic")
+    assert(got(6L) == "unknown", "digits/punct alone profile to no script")
+    assert(got(7L) == "unknown")
+  }
+
+  test("counts are per-character exact and mixed text picks the majority") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L -> "abc 一二三四五").toDF("doc_id", "text")
+    val row = ScriptId.predict(docs).collect().head
+    val byName = row.schema.fieldNames.zip(row.toSeq).toMap
+    assert(byName("latin_chars") == 3)
+    assert(byName("han_chars") == 5)
+    assert(byName("pred_script") == "han")
+  }
+}
