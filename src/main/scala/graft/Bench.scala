@@ -123,6 +123,10 @@ object Bench {
       val hit = exact.join(approx, Seq("vec_id", "neighbor_id")).count().toDouble
       val totalPairs = exact.count().toDouble
       extras += "e2_recall_at_5" -> f"${hit / math.max(totalPairs, 1.0)}%.4f"
+      // the recall/cost curve point at doubled probes
+      val approx8 = graft.sim.Ann.ivfKnn(emb, k = 5, nprobe = 8).select("vec_id", "neighbor_id")
+      val hit8 = exact.join(approx8, Seq("vec_id", "neighbor_id")).count().toDouble
+      extras += "e2_recall_at_5_nprobe8" -> f"${hit8 / math.max(totalPairs, 1.0)}%.4f"
     }
 
     val qs = (results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" } ++
