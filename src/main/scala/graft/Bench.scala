@@ -13,7 +13,10 @@ import graft.pages.PagesTable
   *    "queries":{...per-query sec...,"extract_docs_per_sec":N},"sf":"..."}
   *
   * Measurement policy:
-  *  - extraction runs SPARK_GRAFT_REPS (default 2) full passes into fresh
+  *  - a single-threaded host-state probe (`host_probe_mops`) runs first
+  *    and is reported, so every figure can be read against the host's
+  *    current throttling state (BASELINE.md publishes the band + probe).
+  *  - extraction runs SPARK_GRAFT_REPS (default 3) full passes into fresh
   *    output dirs and reports the BEST — the 100 TB job runs at steady
   *    state for hours; a cold page cache or JIT ramp on rep 1 is harness
   *    noise, not engine cost (the round-1 driver figure of 1.3k docs/s vs
@@ -36,7 +39,33 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+
+    // Host-state probe: a fixed single-threaded workload (1e7 splitmix64
+    // steps + fp mix) measured BEFORE any Spark work. The VM throttles
+    // monotonically under sustained load and recovers when idle
+    // (BASELINE.md, measured 731→557 pages/s over 10 min on an identical
+    // binary), so every throughput figure in this run must be read
+    // against this number: the BASELINE.md band publishes the probe range
+    // it was recorded under.
+    val probeMops = {
+      def run(): Double = {
+        val t0 = System.nanoTime()
+        var s = 0x9e3779b97f4a7c15L; var acc = 0.0; var i = 0
+        while (i < 10000000) {
+          s += 0x9e3779b97f4a7c15L
+          var z = s
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          acc += java.lang.Double.longBitsToDouble((z >>> 12) | 0x3ff0000000000000L)
+          i += 1
+        }
+        if (acc == Double.MinValue) println(acc) // keep the loop live
+        10000000.0 / ((System.nanoTime() - t0) / 1e3) // M ops/sec
+      }
+      run() // JIT warmup
+      (1 to 3).map(_ => run()).max
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -94,6 +123,9 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").format("noop").save()
       }
       results += name -> sec
+      // the IVF queries persist their assignment internally; drop it so
+      // cached blocks don't accumulate across the bench loop
+      if (name.startsWith("e")) spark.catalog.clearCache()
     }
 
     // corpus-scale jaccard configuration (DF guard on)
@@ -104,6 +136,18 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
       }
       results += "t7_jaccard_capped" -> sec
+    }
+
+    // corpus-scale simhash configuration: 60-bit signature, 4 bands
+    // (32 768 buckets/band vs the oracle config's 256 — the per-bucket
+    // fanout guard at 10⁹ docs); same banded equi-join plan as t14
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val (_, sec) = time {
+        graft.text.TextOps.simhashPairs(docs, maxHamming = 3, bits = 60, bands = 4)
+          .write.mode("overwrite").format("noop").save()
+      }
+      results += "t14_wide" -> sec
     }
 
     val total = results.values.sum // headline total (excludes baselines)
@@ -127,7 +171,9 @@ object Bench {
       val approx8 = graft.sim.Ann.ivfKnn(emb, k = 5, nprobe = 8).select("vec_id", "neighbor_id")
       val hit8 = exact.join(approx8, Seq("vec_id", "neighbor_id")).count().toDouble
       extras += "e2_recall_at_5_nprobe8" -> f"${hit8 / math.max(totalPairs, 1.0)}%.4f"
+      spark.catalog.clearCache() // drop the persisted IVF assignments
     }
+    extras += "host_probe_mops" -> f"$probeMops%.1f"
 
     val qs = (results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" } ++
       extras.map { case (k, v) => s""""$k":$v""" } ++

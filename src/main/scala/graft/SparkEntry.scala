@@ -237,6 +237,19 @@ object SparkEntry {
         count(lit(1)).as("cnt"), sum(col("vec_id")).as("id_sum"))),
     "e4_cosine_dups" -> ((s, d) => Ann.cosineDupPairs(emb(s, d), threshold = 0.42)),
 
+    // IVF recall as a correctness row, not just a bench number: one row
+    // (hits, total_pairs) comparing the approximate index against the
+    // exact ranking — integer-exact, so a recall regression fails the
+    // driver's hash compare loudly.
+    "e5_ivf_recall" -> ((s, d) => {
+      val exact = Ann.cosineKnn(emb(s, d), k = 5).select("vec_id", "neighbor_id")
+      val approx = Ann.ivfKnn(emb(s, d), k = 5).select("vec_id", "neighbor_id")
+        .withColumn("m", lit(1L))
+      exact.join(approx, Seq("vec_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("total_pairs"),
+          coalesce(sum(col("m")), lit(0L)).as("hits"))
+    }),
+
     // ---- relational shell (TPC-H-ish) -----------------------------------
     "q1_agg" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
@@ -285,7 +298,7 @@ object SparkEntry {
     def ivfAssignSql(nprobe: Int) =
       s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
           par AS (SELECT count(*) AS n,
-                         greatest(4, CAST(ceil(sqrt(count(*))) AS BIGINT)) AS cells
+                         greatest(4, least(4096, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cells
                   FROM v),
           cent AS (SELECT vec_id AS cell, e AS c FROM v, par
                    WHERE ${h60("'c:' || CAST(vec_id AS VARCHAR)")} % greatest(1, n // cells) = 0),
@@ -502,7 +515,8 @@ object SparkEntry {
           "devanagari" -> "[\\x{0900}-\\x{097F}]",
           "arabic" -> "[\\x{0600}-\\x{06FF}]",
           "han" -> "[\\x{4E00}-\\x{9FFF}]",
-          "cyrillic" -> "[\\x{0400}-\\x{04FF}]")
+          "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+          "gurmukhi" -> "[\\x{0A00}-\\x{0A7F}]")
         val counts = ScriptId.profiles.map { case (name, _) =>
           s"length(text) - length(regexp_replace(text, '${re2(name)}', '', 'g')) AS ${name}_chars"
         }.mkString(", ")
@@ -545,6 +559,27 @@ object SparkEntry {
              FROM home l JOIN home r
                ON l.cell = r.cell AND l.vec_id < r.vec_id
              WHERE list_cosine_similarity(l.e, r.e) >= 0.42"""),
+      "e5_ivf_recall" ->
+        (s"""WITH ${ivfAssignSql(4)},
+             probes AS (SELECT * FROM assign WHERE rn <= 4),
+             home AS (SELECT * FROM assign WHERE rn = 1),
+             ivf AS (SELECT a AS vec_id, b AS neighbor_id FROM (
+               SELECT l.vec_id AS a, r.vec_id AS b,
+                 row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY list_cosine_similarity(l.e, r.e) DESC, r.vec_id ASC) AS rank
+               FROM probes l JOIN home r
+                 ON l.cell = r.cell AND l.vec_id <> r.vec_id)
+               WHERE rank <= 5),
+             exact AS (SELECT vec_id, neighbor_id FROM (
+               SELECT l.vec_id AS vec_id, r.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY l.vec_id
+                   ORDER BY list_cosine_similarity(l.e, r.e) DESC, r.vec_id ASC) AS rank
+               FROM v l JOIN v r ON l.vec_id <> r.vec_id)
+               WHERE rank <= 5)
+             SELECT count(*) AS total_pairs,
+               CAST(coalesce(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits
+             FROM exact e LEFT JOIN ivf i
+               ON e.vec_id = i.vec_id AND e.neighbor_id = i.neighbor_id"""),
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
          "count(*) AS count_order FROM lineitem GROUP BY 1, 2"),

@@ -47,31 +47,46 @@ object Ann {
     * of "c:<vec_id>" is 0 mod stride — ≈`cells` rows, spread uniformly
     * over the id space with no global sort and no data-order dependence
     * (the round-1 `orderBy(vec_id).limit(cells)` seeding clustered the
-    * centroids and skewed every cell). */
-  def centroids(v: DataFrame, stride: Long): DataFrame =
+    * centroids and skewed every cell). `stride` is a COLUMN (from the
+    * 1-row parameter aggregate), so the whole index is one lazy plan. */
+  def centroids(v: DataFrame, stride: Column): DataFrame =
     v.filter(
         pmod(graft.text.TextOps.md5Hash60(concat(lit("c:"), col("vec_id").cast("string"))),
-          lit(stride)) === 0)
+          stride) === 0)
       .select(col("vec_id").as("cell"), col("e").as("c"))
 
+  /** Hard cap on the auto-scaled cell count. The assignment pass is
+    * O(n·cells) dot products and the centroid table is broadcast, so at
+    * 10⁹ vectors an uncapped √n ≈ 31k cells means an O(n·√n) assignment
+    * and a ~100 MB broadcast. 4096 cells keep the broadcast ≈2 MB at
+    * dim 128; compensate with a larger `nprobe` (coverage = nprobe/cells),
+    * or assign hierarchically (coarse cell → fine cell, two broadcast
+    * passes — same join/shuffle shape) if per-cell joins grow too big. */
+  val MaxAutoCells = 4096
+
   /** Auto-scaled cell count: ~√n cells keeps per-cell JOIN work linear in
-    * n. Callers at known scale pass `cells` explicitly — note the
-    * assignment pass itself is O(n·cells) dot products, so at 10⁹+ vectors
-    * cap cells (e.g. 4096, still a ~2 MB broadcast) and raise nprobe, or
-    * assign hierarchically (coarse cell → fine cell, two broadcast
-    * passes); the join/shuffle shape is unchanged either way. */
-  def autoCells(n: Long): Int = math.max(4, math.ceil(math.sqrt(n.toDouble)).toInt)
+    * n, clamped to [[MaxAutoCells]] (see above). */
+  def autoCells(n: Long): Int =
+    math.max(4, math.min(MaxAutoCells, math.ceil(math.sqrt(n.toDouble)).toInt))
 
   /** ONE assignment pass: for every vector its `nprobe` nearest centroids
     * by cosine distance (rank 1 = home cell). Computed once and reused for
     * both the index side (rn=1) and the probe side (rn≤nprobe) — the
-    * round-1 shape recomputed the broadcast-NL assignment twice. */
+    * round-1 shape recomputed the broadcast-NL assignment twice.
+    *
+    * The cell count / stride parameters are derived from a 1-row aggregate
+    * folded into the same plan via a broadcast cross join (mirroring the
+    * oracle's `par` CTE) — no separate `emb.count()` action, so a 10⁹-row
+    * table is scanned once, not twice per query. */
   def ivfAssign(emb: DataFrame, cells: Int = 0, nprobe: Int = 1): DataFrame = {
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
-    val n = emb.count()
-    val c = if (cells > 0) cells else autoCells(n)
-    val stride = math.max(1L, n / c)
-    val cent = centroids(v, stride)
+    val cellsCol =
+      if (cells > 0) lit(cells.toLong)
+      else greatest(lit(4L),
+        least(lit(MaxAutoCells.toLong), ceil(sqrt(col("n"))).cast("long")))
+    val par = v.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), floor(col("n") / cellsCol).cast("long")).as("stride"))
+    val cent = centroids(v.crossJoin(broadcast(par)), col("stride"))
     val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
     v.crossJoin(broadcast(cent))
       .withColumn("d", dot(col("e"), col("c")) /

@@ -16,7 +16,11 @@ object LangId {
     "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "für", "auf", "dass"),
     "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "une", "des"),
     "es" -> Seq("el", "la", "los", "las", "es", "en", "para", "que", "una", "con"),
-    "hi" -> Seq("hai", "ki", "ko", "se", "ka", "aur", "yah", "par", "ke", "nahi"))
+    "hi" -> Seq("hai", "ki", "ko", "se", "ka", "aur", "yah", "par", "ke", "nahi"),
+    // Punjabi (Gurmukhi) stopwords — the reference's own 2-class en/pa and
+    // hi/pa language endpoints make "pa" a first-class language here
+    // (reference: lang_iden_2class_enpa.sh, lang_iden_2class_hipa.sh)
+    "pa" -> Seq("ਦੇ", "ਦੀ", "ਦਾ", "ਨੂੰ", "ਹੈ", "ਵਿੱਚ", "ਅਤੇ", "ਇਹ", "ਨਾਲ", "ਤੋਂ"))
 
   /** (doc table, text column name) → doc_id + predicted language. */
   def predict(docs: DataFrame, idCol: String = "doc_id",

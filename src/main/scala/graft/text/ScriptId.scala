@@ -23,7 +23,11 @@ object ScriptId {
     "devanagari" -> "[ऀ-ॿ]",
     "arabic" -> "[؀-ۿ]",
     "han" -> "[一-鿿]",
-    "cyrillic" -> "[Ѐ-ӿ]")
+    "cyrillic" -> "[Ѐ-ӿ]",
+    // U+0A00–0A7F — the script of the reference's own corpus (its
+    // endpoints classify en/pa and hi/pa Punjabi documents:
+    // reference lang_iden_2class_enpa.sh / _hipa.sh, script_iden_v1.sh)
+    "gurmukhi" -> "[਀-੿]")
 
   private def countOf(textCol: Column, cls: String): Column =
     length(textCol) - length(regexp_replace(textCol, cls, ""))

@@ -90,42 +90,52 @@ object TextOps {
       .distinct()
   }
 
-  /** 16-bit SimHash over per-token 60-bit hashes (each occurrence votes
-    * ±1 per bit; bit set when the vote sum is positive). Explode + 16
-    * SUM(CASE) aggregates — fully codegen'd, map-side-combined. */
-  def simhash(docs: DataFrame): DataFrame = {
+  /** SimHash over per-token 60-bit hashes (each occurrence votes ±1 per
+    * bit; bit set when the vote sum is positive). Explode + `bits`
+    * SUM(CASE) aggregates — fully codegen'd, map-side-combined.
+    *
+    * `bits` defaults to 16 (the oracle-checked configuration); the
+    * corpus-scale configuration is `bits = 60` (the full md5Hash60 width —
+    * the signature convention is 60-bit, so 60 is the widest slice a
+    * single hash supports). */
+  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 60, s"simhash bits must be in [1,60], got $bits")
     val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .withColumn("h", md5Hash60(col("w")))
-    val bitAggs = (0 until 16).map { b =>
+    val bitAggs = (0 until bits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"b$b")
     }
     val g = tok.groupBy("doc_id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sim = (0 until 16).map { b =>
+    val sim = (0 until bits).map { b =>
       when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     g.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-duplicate candidate pairs, banded: the 16-bit signature
-    * splits into two 8-bit halves; by pigeonhole any pair at hamming ≤ 1
-    * shares a half exactly, so equality-joining on the halves finds all
-    * such pairs (and, approximately, higher-distance pairs whose diffs
-    * cluster in one half — classic banded-LSH semantics). Emitted when
-    * bit_count(xor) ≤ maxHamming. Equi-join on the band key — never the
-    * all-pairs cross join.
+  /** SimHash near-duplicate candidate pairs, banded: the signature splits
+    * into `bands` equal-width slices; by pigeonhole any pair at hamming
+    * ≤ bands-1 shares a slice exactly, so equality-joining on the slices
+    * finds all such pairs (and, approximately, higher-distance pairs whose
+    * diffs cluster in few slices — classic banded-LSH semantics). Emitted
+    * when bit_count(xor) ≤ maxHamming. Equi-join on the band key — never
+    * the all-pairs cross join.
     *
-    * Scale note: the 16-bit signature (kept oracle-small here) gives only
-    * 256 buckets per band — at corpus scale use a 64-bit signature with
-    * 4×16-bit bands (65 536 buckets/band, same plan shape), or the
-    * per-key fanout goes quadratic the same way an unguarded shingle
-    * join does. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
-    val banded = Seq(0, 1).map { b =>
-      val half =
-        if (b == 0) col("simhash").bitwiseAND(255L)
-        else shiftright(col("simhash"), 8)
-      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"), half.as("key"))
+    * Scale note: the default 16-bit/2-band signature (kept oracle-small)
+    * gives only 256 buckets per band — at corpus scale per-bucket fanout
+    * goes quadratic the same way an unguarded shingle join does. Use the
+    * wide configuration `simhashPairs(docs, 3, bits = 60, bands = 4)`:
+    * 15-bit slices → 32 768 buckets per band, same plan shape (benched as
+    * `t14_wide`). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   bits: Int = 16, bands: Int = 2): DataFrame = {
+    require(bands >= 1 && bits % bands == 0,
+      s"bands ($bands) must divide bits ($bits)")
+    val width = bits / bands
+    val mask = (1L << width) - 1L
+    val sig = simhash(docs, bits)
+    val banded = (0 until bands).map { b =>
+      val slice = shiftright(col("simhash"), b * width).bitwiseAND(mask)
+      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"), slice.as("key"))
     }.reduce(_ unionByName _)
     banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.key") === col("r.key") &&

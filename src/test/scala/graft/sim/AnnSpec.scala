@@ -101,6 +101,54 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.9, f"recall $recall%.3f < 0.9 on clustered data")
   }
 
+  test("autoCells scales as sqrt(n) and clamps at MaxAutoCells") {
+    assert(Ann.autoCells(16) == 4)
+    assert(Ann.autoCells(500) == 23)
+    assert(Ann.autoCells(16777216) == 4096)
+    assert(Ann.autoCells(1000000000L) == 4096,
+      "at 10^9 vectors the cap must bind (bounded broadcast + O(n*4096) assignment)")
+  }
+
+  test("capped-cells regime (cells << sqrt(n)) still recovers clustered neighbours") {
+    // The regime the 4096 cap creates at 10^9 vectors: far fewer cells
+    // than sqrt(n), compensated by nprobe. 8 cells over 500 clustered
+    // vectors with nprobe=4 (coverage 1/2) must keep recall high.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0L until 500L).map { id =>
+      val c = centers((id % 20).toInt)
+      (id, c.map(x => (x + 0.08 * rng.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Ann.cosineKnn(emb, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.ivfKnn(emb, k = 5, cells = 8, nprobe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.iterator.map { case (id, nbrs) =>
+      (nbrs intersect approx.getOrElse(id, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    info(f"capped-regime IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f < 0.8 with capped cells + nprobe compensation")
+  }
+
+  test("IVF recall@5 at fixed seed is pinned (regression gate)") {
+    // The e5_ivf_recall correctness row's spec-side twin: on the fixed
+    // sf0.001 embeddings the (hits, total) pair is deterministic; a
+    // change means the index algorithm changed, not the data.
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val exact = Ann.cosineKnn(emb, k = 5).select("vec_id", "neighbor_id")
+    val approx = Ann.ivfKnn(emb, k = 5).select("vec_id", "neighbor_id")
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id")).count()
+    val total = exact.count()
+    info(s"recall@5 = $hits/$total on sf0.001")
+    assert(total == 2500L)
+    assert(hits >= 750L,
+      s"recall collapsed: $hits/$total (expected ~0.40, gate at 0.30, on isotropic sf0.001 data)")
+  }
+
   test("near-duplicate pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Ann.cosineDupPairs(emb, threshold = 0.95).collect()

@@ -52,4 +52,21 @@ class LangIdSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = LangId.predict(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es"))
   }
+
+  test("en/pa and hi/pa discriminate (the reference's 2-class endpoints)") {
+    val s = spark
+    import s.implicits._
+    // mirror of the reference's lang_iden_2class_enpa / _hipa surfaces:
+    // each pair must separate on its own stopword profiles
+    val d = Seq(
+      (1L, "ਇਹ ਕਿਤਾਬ ਮੇਜ਼ ਦੇ ਉੱਤੇ ਹੈ ਅਤੇ ਉਹ ਸਕੂਲ ਨੂੰ ਜਾਂਦਾ ਹੈ"),
+      (2L, "the book is on the table and it is for the school"),
+      (3L, "yah kitab mez par hai aur vah school ko jaata hai"),
+      (4L, "ਪਿੰਡ ਵਿੱਚ ਲੋਕ ਖੇਤਾਂ ਦੀ ਫ਼ਸਲ ਨਾਲ ਕੰਮ ਤੋਂ ਬਾਅਦ ਘਰ ਦਾ ਰਾਹ ਫੜਦੇ")
+    ).toDF("doc_id", "text")
+    val got = LangId.predict(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "pa" && got(4L) == "pa")
+    assert(got(2L) == "en")
+    assert(got(3L) == "hi")
+  }
 }

@@ -40,6 +40,26 @@ class ScriptIdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(7L) == "unknown")
   }
 
+  test("Gurmukhi (the reference corpus's script) is profiled and distinct from Devanagari") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      1L -> "ਇਹ ਇੱਕ ਪੰਜਾਬੀ ਵਾਕ ਹੈ",     // Punjabi, Gurmukhi script
+      2L -> "यह एक हिंदी वाक्य है",          // Hindi, Devanagari
+      3L -> "ਪੰਜਾਬੀ and english ਲਿਖਤ ਵਿੱਚ ਮਿਲੀ").toDF("doc_id", "text")
+    val rows = ScriptId.predict(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def field(id: Long, name: String) = {
+      val r = rows(id)
+      r.get(r.fieldIndex(name))
+    }
+    assert(field(1L, "pred_script") == "gurmukhi")
+    assert(field(2L, "pred_script") == "devanagari")
+    assert(field(1L, "devanagari_chars") == 0, "ranges do not overlap")
+    assert(field(2L, "gurmukhi_chars") == 0)
+    assert(field(3L, "pred_script") == "gurmukhi", "majority script wins on mixed text")
+  }
+
   test("counts are per-character exact and mixed text picks the majority") {
     val s = spark
     import s.implicits._

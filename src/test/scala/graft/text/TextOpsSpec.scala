@@ -92,6 +92,22 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.forall { case (a, b, h) => a < b && h == 0 })
   }
 
+  test("wide simhash config (60-bit, 4 bands) agrees with the narrow one on exact dups") {
+    val d = docs(1L -> "spark catalyst tungsten codegen shuffle",
+      2L -> "spark catalyst tungsten codegen shuffle",
+      3L -> "zz yy xx ww vv uu tt ss rr qq pp oo nn mm")
+    val wide = TextOps.simhashPairs(d, maxHamming = 0, bits = 60, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(wide.toSeq == Seq((1L, 2L, 0)),
+      s"wide config must find exactly the identical pair: ${wide.toSeq}")
+    // band slices must tile the signature exactly: reassembling the four
+    // 15-bit keys reproduces the 60-bit signature
+    val sig = TextOps.simhash(d, bits = 60).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val keys = (0 until 4).map(b => (sig(1L) >> (b * 15)) & ((1L << 15) - 1))
+    assert(keys.zipWithIndex.map { case (k, b) => k << (b * 15) }.sum == sig(1L))
+  }
+
   test("jaccard pairs: integer-exact intersection and union") {
     // doc1 shingles: {a b c, b c d, c d e}; doc2: {a b c, b c d, c d X}
     val d = docs(1L -> "a b c d e", 2L -> "a b c d X", 3L -> "p q r s t")
