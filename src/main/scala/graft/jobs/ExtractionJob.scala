@@ -46,24 +46,44 @@ object ExtractionJob {
 
   /** Urls already committed to the extracted table, or None on first run.
     * Existence is probed through the Hadoop FileSystem of the path, so the
-    * same code works on hdfs:// and s3:// outputs, not just local disk.
+    * same code works on hdfs:// and s3:// outputs, not just local disk;
+    * the probe is RECURSIVE, so partitioned layouts (nested files under
+    * `failed=true` / `failed=false`, or a downstream re-bucketing) are
+    * recognised, not just flat files.
     * With `retryFailed` the rows whose extraction failed (committed with
     * `failed = true` so a crash loop cannot re-attempt them forever) are
-    * NOT treated as committed — the next run re-extracts exactly them. */
+    * NOT treated as committed — the next run re-extracts exactly them.
+    * Rows from pre-`failed`-column layouts (column absent, or null after
+    * schema merge) count as committed: only an explicit `true` retries. */
   def committedUrls(spark: SparkSession, cfg: JobConfig): Option[DataFrame] = {
     val path = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/extracted")
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val hasData = fs.exists(path) &&
-      fs.listStatus(path).exists(_.getPath.getName.endsWith(".parquet"))
-    if (!hasData) None
+    def hasParquet: Boolean = {
+      val it = fs.listFiles(path, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (!fs.exists(path) || !hasParquet) None
     else {
       val extracted = spark.read.parquet(s"${cfg.outPath}/extracted")
       val committed =
         if (cfg.retryFailed && extracted.columns.contains("failed"))
-          extracted.filter(!col("failed"))
+          extracted.filter(!coalesce(col("failed").cast("boolean"), lit(false)))
         else extracted
       Some(committed.select("url"))
     }
+  }
+
+  /** The committed successfully-extracted rows — ONE row per url. The
+    * table partitions on `failed`, so this reads only the success
+    * partition (partition pruning; the failure partition never mixes in,
+    * even right after a retry run appended fresh rows). */
+  def readExtracted(spark: SparkSession, cfg: JobConfig): DataFrame = {
+    val df = spark.read.parquet(s"${cfg.outPath}/extracted")
+    if (df.columns.contains("failed"))
+      df.filter(!coalesce(col("failed").cast("boolean"), lit(false)))
+    else df
   }
 
   /** The work set: pages minus committed (resume anti-join), salted.
@@ -191,17 +211,57 @@ object ExtractionJob {
             val attempt = if (tc != null) tc.attemptNumber() else 0
             val conf = new org.apache.hadoop.conf.Configuration(false)
             confBc.value.foreach { case (k, v) => conf.set(k, v) }
+            // write-then-rename: a task killed mid-write (speculation,
+            // preemption) must not leave a truncated sidecar that the
+            // PERMISSIVE json read would turn into an all-null row
             val path = new org.apache.hadoop.fs.Path(s"$rawDir/p$pid-a$attempt.json")
+            val tmp = new org.apache.hadoop.fs.Path(s"$rawDir/.p$pid-a$attempt.inprogress")
             val fs = path.getFileSystem(conf)
-            val os = fs.create(path, true)
+            val os = fs.create(tmp, true)
             try os.write(metricsJson(m, attempt).getBytes(StandardCharsets.UTF_8))
             finally os.close()
+            fs.rename(tmp, path)
           }
         }
         }
       }
 
-    extracted.write.mode(SaveMode.Append).parquet(s"${cfg.outPath}/extracted")
+    // `failed` as a partition column: the (tiny) failure partition stays
+    // physically separate from the success rows, so readers prune it and
+    // a retry run can compact it without touching the 10^12-row success
+    // side (see below).
+    extracted.write.mode(SaveMode.Append)
+      .partitionBy("failed").parquet(s"${cfg.outPath}/extracted")
+
+    // retry compaction: a retried url that succeeded this run now has a
+    // fresh failed=false row, and a url that failed again has a second
+    // failed=true row — rewrite ONLY the failure partition keeping one
+    // row per still-failing url, restoring the invariant "at most one
+    // row per url, and never in both partitions". The rewrite reads the
+    // small failure partition plus the pruned url column of the success
+    // side (same cost class as the resume anti-join itself).
+    if (cfg.retryFailed) {
+      val root = s"${cfg.outPath}/extracted"
+      val all = spark.read.parquet(root)
+      if (all.columns.contains("failed")) {
+        val stillFailing = all.filter(coalesce(col("failed").cast("boolean"), lit(false)))
+          .drop("failed")
+          .join(all.filter(!coalesce(col("failed").cast("boolean"), lit(false)))
+            .select("url"), Seq("url"), "left_anti")
+          .dropDuplicates("url")
+        // materialise away from the dir being overwritten
+        val tmpDir = s"${cfg.outPath}/.failed_compact_$runId"
+        stillFailing.write.mode(SaveMode.Overwrite).parquet(tmpDir)
+        val failPart = new org.apache.hadoop.fs.Path(s"$root/failed=true")
+        val rootFs = failPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        rootFs.delete(failPart, true)
+        val compacted = spark.read.parquet(tmpDir)
+        if (!compacted.isEmpty)
+          compacted.withColumn("failed", lit(true))
+            .write.mode(SaveMode.Append).partitionBy("failed").parquet(root)
+        rootFs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+      }
+    }
 
     // compact sidecars → metrics parquet (dedupe retries: max attempt wins)
     val rawPath = new org.apache.hadoop.fs.Path(rawDir)
@@ -211,6 +271,10 @@ object ExtractionJob {
         .schema("run_id string, partition_id int, docs_parsed long, " +
           "bytes_tokenized long, extraction_failures long, wall_ms long, attempt int")
         .json(rawDir)
+        // belt over the rename braces: a malformed sidecar parses to an
+        // all-null row under PERMISSIVE; drop it instead of letting
+        // .as[PartitionMetrics] throw on null non-nullable fields
+        .filter(col("run_id").isNotNull && col("partition_id").isNotNull)
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy("run_id", "partition_id").orderBy(col("attempt").desc)
       val rows = raw.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
@@ -225,7 +289,11 @@ object ExtractionJob {
     val metricsPath = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/metrics")
     if (!fs.exists(metricsPath)) 0L
     else readMetrics(spark, cfg)
-      .agg(coalesce(sum(col("docs_parsed")), lit(0L))).as[Long].head()
+      // successes, not attempts: a url that failed then succeeded on a
+      // retry run contributes (parsed=1, failures=1) + (parsed=1,
+      // failures=0) = 1, so retried docs are never double-counted
+      .agg(coalesce(sum(col("docs_parsed") - col("extraction_failures")), lit(0L)))
+      .as[Long].head()
   }
 
   /** Read the lineage rows back as a typed Dataset. */

@@ -9,8 +9,9 @@ import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
   * Deterministic per (seed, n): generation is a pure function, so the
   * parquet can be (re)built at any time and oracle queries over it are
   * stable. Generated distributed — one generator per partition, no
-  * driver-side collection. The directory is VERSIONED (`v2`): any change
-  * to the generator bumps the version so stale data is never reused.
+  * driver-side collection. The directory is VERSIONED (see [[Version]]):
+  * any change to the generator bumps the version so stale data is never
+  * reused.
   */
 object PagesTable {
   val Seed = 42L
@@ -40,11 +41,17 @@ object PagesTable {
 
   /** Write-if-missing (pages + golden sidecars); returns the parquet path.
     * Generation runs once per output table — regenerating is cheaper than
-    * caching 100k html payloads in executor memory. */
+    * caching 100k html payloads in executor memory.
+    *
+    * Completion is gated on a single COMBINED marker written after the
+    * LAST of the three tables: gating on the pages dir's own `_SUCCESS`
+    * would let a crash between the pages write and the sidecar writes
+    * leave a "complete-looking" pages table with missing sidecars that
+    * are never rebuilt (the oracle queries would then fail). */
   def ensure(spark: SparkSession, sfName: String): String = {
     import spark.implicits._
     val dir = dirFor(sfName)
-    val marker = new java.io.File(dir, "_SUCCESS")
+    val marker = new java.io.File(dir, "_GRAFT_COMPLETE")
     if (!marker.exists()) {
       val n = rowsFor(sfName)
       // many small-ish files: the scan then yields several task waves per
@@ -55,6 +62,7 @@ object PagesTable {
       gen.map(_.row).write.mode(SaveMode.Overwrite).parquet(dir)
       gen.flatMap(_.spans).write.mode(SaveMode.Overwrite).parquet(spansDirFor(sfName))
       gen.map(_.meta).write.mode(SaveMode.Overwrite).parquet(metaDirFor(sfName))
+      java.nio.file.Files.write(marker.toPath, Array.emptyByteArray)
     }
     dir
   }

@@ -99,6 +99,62 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       committed.take(3).toSeq, "retryFailed re-extracts exactly the failed urls")
   }
 
+  test("retryFailed run compacts stale failure rows: one row per url, success side authoritative") {
+    val s = spark
+    import s.implicits._
+    val base = s"$tmp/retry_e2e"
+    PagesTable.generate(spark, seed = 9L, n = 20, partitions = 2)
+      .write.parquet(s"$base/pages")
+    val urls = spark.read.parquet(s"$base/pages").select("url").as[String]
+      .collect().sorted
+    // committed table in the job's own partitioned layout: 3 failed urls
+    val rows = urls.zipWithIndex.map { case (u, i) =>
+      graft.extract.Extracted(u, if (i < 3) "" else "ok",
+        Array.empty, Array.empty, failed = i < 3)
+    }
+    spark.createDataset(rows.toSeq).write
+      .partitionBy("failed").parquet(s"$base/out/extracted")
+
+    val n = ExtractionJob.run(spark,
+      JobConfig(s"$base/pages", s"$base/out", runId = "retry1", retryFailed = true))
+    // the 3 retried urls extract successfully with the real extractor
+    val extracted = spark.read.parquet(s"$base/out/extracted")
+    assert(extracted.count() == 20, "exactly one row per url after compaction")
+    assert(extracted.filter(org.apache.spark.sql.functions.col("failed").cast("boolean")).count() == 0,
+      "no stale failure rows survive a retry that succeeded")
+    assert(ExtractionJob.readExtracted(spark, JobConfig(s"$base/pages", s"$base/out"))
+      .select("url").as[String].collect().sorted.toSeq == urls.toSeq)
+    assert(n == 3, "cumulative successes counts only this run's 3 retried docs " +
+      "(the faked earlier run wrote no metrics)")
+  }
+
+  test("pre-upgrade committed table without a failed column stays fully committed under retryFailed") {
+    val s = spark
+    import s.implicits._
+    val base = s"$tmp/legacy"
+    PagesTable.generate(spark, seed = 11L, n = 10, partitions = 2)
+      .write.parquet(s"$base/pages")
+    spark.read.parquet(s"$base/pages").select("url", "text")
+      .write.parquet(s"$base/out/extracted")
+    val plan = ExtractionJob.planWorkSet(
+      spark, JobConfig(s"$base/pages", s"$base/out", retryFailed = true))
+    assert(plan.count() == 0,
+      "rows with no failed column must not be re-extracted (they are committed)")
+  }
+
+  test("resume probe recognises the partitioned extracted layout") {
+    val base = s"$tmp/partprobe"
+    PagesTable.generate(spark, seed = 13L, n = 10, partitions = 2)
+      .write.parquet(s"$base/pages")
+    ExtractionJob.run(spark, JobConfig(s"$base/pages", s"$base/out", runId = "p1"))
+    // the job's own layout nests files under failed=*/ — the probe must
+    // still see the table and plan an empty work set
+    assert(new java.io.File(s"$base/out/extracted/failed=false").exists(),
+      "extracted table partitions on failed")
+    val plan = ExtractionJob.planWorkSet(spark, JobConfig(s"$base/pages", s"$base/out"))
+    assert(plan.count() == 0, "recursive probe must find nested parquet and resume")
+  }
+
   test("work-set plan pushes column pruning to the scan and salts partitions") {
     val pagesPath = s"$tmp/pages"
     val plan = ExtractionJob.planWorkSet(spark, JobConfig(pagesPath, s"$tmp/out2"))
