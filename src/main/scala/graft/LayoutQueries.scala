@@ -95,15 +95,17 @@ object LayoutQueries {
 
   /** Per-page style-context totals (the l7 query shape): summed in the
     * page transform — no shuffle, the per-url grouping is free. */
-  def textAttrTotals(url: String, html: Array[Byte]): (String, Long, Long, Long, Long, Long, Long, Long) = {
+  def textAttrTotals(url: String, html: Array[Byte]): (String, Long, Long, Long, Long, Long, Long, Long, Long) = {
     val dom = graft.html.Dom.parse(html)
     var chars = 0L; var b = 0L; var i = 0L; var u = 0L; var s = 0L; var hd = 0L; var c = 0L
+    var px = 0L
     graft.extract.TextAttributes.blockAttrs(dom).foreach { a =>
       chars += a.chars; b += a.boldChars; i += a.italicChars
       u += a.underlineChars; s += a.strikeChars; c += a.coloredChars
       if (a.fontSize > 0) hd += a.chars
+      px += a.fontSize
     }
-    (url, chars, b, i, u, s, hd, c)
+    (url, chars, b, i, u, s, hd, c, px)
   }
 
   /** F1/F2/F9: detector-side filter chain over a deterministic box set

@@ -149,7 +149,8 @@ object SparkEntry {
       pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
         .map { case (u, h) => LayoutQueries.textAttrTotals(u, h) }
         .toDF("url", "chars", "bold_chars", "italic_chars",
-          "underline_chars", "strike_chars", "heading_chars", "colored_chars")
+          "underline_chars", "strike_chars", "heading_chars", "colored_chars",
+          "size_px_sum")
     }),
 
     // ---- multimodal plumbing (html bytes stand in for media payloads) ---
@@ -359,7 +360,8 @@ object SparkEntry {
                CAST(underline_chars AS BIGINT) AS underline_chars,
                CAST(strike_chars AS BIGINT) AS strike_chars,
                CAST(heading_chars AS BIGINT) AS heading_chars,
-               CAST(colored_chars AS BIGINT) AS colored_chars
+               CAST(colored_chars AS BIGINT) AS colored_chars,
+               CAST(size_px_sum AS BIGINT) AS size_px_sum
              FROM $metaG"""),
       "l9_table_structure" ->
         (s"""SELECT url, n_tables, table_rows AS nrows, table_cells AS ncells,

@@ -25,6 +25,7 @@ final case class PageMeta(url: String, n_spans: Int,
                           chars: Long, bold_chars: Long, italic_chars: Long,
                           underline_chars: Long, strike_chars: Long,
                           heading_chars: Long, colored_chars: Long,
+                          size_px_sum: Long,
                           n_tables: Int, table_rows: Int, table_cells: Int,
                           cell_area: Long,
                           n_lines: Int, line_h_sum: Long)
@@ -51,6 +52,13 @@ final case class GenPage(row: PageRow, meta: PageMeta, spans: Vector[SpanGolden]
   *    generator writes into the body (content AND chrome), per context;
   *  - table row/cell counts come from the tables the generator emitted.
   *
+  * v4 adds the inline-CSS styling real pages carry: whole-block
+  * `style="font-size:..px"` paragraphs, whole-block `style="color:…"`
+  * blockquotes and inline `<span style="color:…">` words — so the
+  * attribute operator is exercised on style attributes, not just legacy
+  * markup; [[PageMeta.size_px_sum]] pins the pixel-size expectation
+  * (styled px, else the heading-level default) over every emitted block.
+  *
   * The html-length distribution is deliberately heavy-tailed (~2% of pages
   * are 10-40× larger) so skew handling (salted repartition, AQE) is
   * exercised at bench scale.
@@ -67,6 +75,18 @@ object PageGen {
   private val LineChars = (PageW - 2 * MarginX) / CharW // 110
   private def lineCount(chars: Int): Int =
     math.max(1, (chars + LineChars - 1) / LineChars)
+  /** Default pixel font size per tag — the same published contract the
+    * text-attribute operator implements (heading levels are pixel-valued;
+    * body text is 0 = unstyled). */
+  private def defaultPx(tag: String): Int = tag match {
+    case "h1" => 32
+    case "h2" => 28
+    case "h3" => 24
+    case "h4" => 20
+    case "h5" => 18
+    case "h6" => 16
+    case _    => 0
+  }
   private def kindOf(tag: String): String = tag match {
     case "h1" | "h2" | "h3" | "h4" | "h5" | "h6" => "heading"
     case "li" | "dt" | "dd"                       => "list_item"
@@ -170,9 +190,14 @@ object PageGen {
     ("5&nbsp;&lt;&nbsp;10", "5 < 10"), ("x&nbsp;&gt;&nbsp;y", "x > y"))
 
   /** Styled sentence; counts every produced char into `attr` under the
-    * given heading context. Returns (htmlText, expectedText). */
+    * given heading/colored context. Returns (htmlText, expectedText).
+    * Inline color markup mixes the legacy `<font color>` form with the
+    * inline-CSS `<span style="color:…">` form real pages carry; with
+    * `colored = true` (a color-styled enclosing block) every char counts
+    * as colored regardless of inline markup. */
   private def sentence(r: Rng, vocab: IndexedSeq[String], nWords: Int,
-                       attr: Attr, heading: Boolean): (String, String) = {
+                       attr: Attr, heading: Boolean,
+                       colored: Boolean = false): (String, String) = {
     val hb = new StringBuilder
     val eb = new StringBuilder
     var k = 0
@@ -181,19 +206,24 @@ object PageGen {
       if (r.nextInt(40) == 0) {
         val (h, e) = r.pick(entityWords)
         hb ++= h; eb ++= e
-        attr.add(e, h = heading)
+        attr.add(e, h = heading, c = colored)
       } else {
         val w = r.pick(vocab)
-        if (r.nextInt(25) == 0) { hb ++= s"<b>$w</b>"; attr.add(w, h = heading, b = true) }
-        else if (r.nextInt(25) == 0) { hb ++= s"<i>$w</i>"; attr.add(w, h = heading, i = true) }
-        else if (r.nextInt(25) == 0) { hb ++= s"<u>$w</u>"; attr.add(w, h = heading, u = true) }
-        else if (r.nextInt(25) == 0) { hb ++= s"<s>$w</s>"; attr.add(w, h = heading, st = true) }
+        if (r.nextInt(25) == 0) { hb ++= s"<b>$w</b>"; attr.add(w, h = heading, b = true, c = colored) }
+        else if (r.nextInt(25) == 0) { hb ++= s"<i>$w</i>"; attr.add(w, h = heading, i = true, c = colored) }
+        else if (r.nextInt(25) == 0) { hb ++= s"<u>$w</u>"; attr.add(w, h = heading, u = true, c = colored) }
+        else if (r.nextInt(25) == 0) { hb ++= s"<s>$w</s>"; attr.add(w, h = heading, st = true, c = colored) }
         else if (r.nextInt(25) == 0) {
           val c = r.pick(fontColors)
           hb ++= s"""<font color="$c">$w</font>"""
           attr.add(w, h = heading, c = true)
         }
-        else { hb ++= w; attr.add(w, h = heading) }
+        else if (r.nextInt(25) == 0) {
+          val c = r.pick(fontColors)
+          hb ++= s"""<span style="color:$c">$w</span>"""
+          attr.add(w, h = heading, c = true)
+        }
+        else { hb ++= w; attr.add(w, h = heading, c = colored) }
         eb ++= w
       }
       k += 1
@@ -220,8 +250,9 @@ object PageGen {
     val url = s"https://$host/articles/${idx}"
 
     val html = new StringBuilder(4096)
-    // (tag, expectedText) per content block, document order
-    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // (tag, expectedText, stylePx) per content block, document order
+    // (stylePx > 0 = whole-block inline font-size style; 0 = tag default)
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Int)]
     var nTables = 0
     var tableRows = 0
     var tableCells = 0
@@ -257,31 +288,37 @@ object PageGen {
     // article heading
     val (h1h, h1e) = sentence(r, vocab, 2 + r.nextInt(5), attr, heading = true)
     html ++= s"<h1>$h1h</h1>\n"
-    expected += (("h1", h1e))
+    expected += (("h1", h1e, 0))
 
     var s = 0
     while (s < nSections) {
       if (r.nextInt(3) > 0) {
         val (hh, he) = sentence(r, vocab, 2 + r.nextInt(4), attr, heading = true)
         html ++= s"<h2>$hh</h2>\n"
-        expected += (("h2", he))
+        expected += (("h2", he, 0))
       }
       val nParas = 1 + r.nextInt(4)
       var p = 0
       while (p < nParas) {
-        val (ph, pe) = sentence(r, vocab, 8 + r.nextInt(53), attr, heading = false)
+        // ~1/6 of paragraphs carry a whole-block inline font-size style —
+        // the dominant real-world form of size markup; their chars count
+        // into the sized/heading context like heading chars do
+        val stylePx = if (r.nextInt(6) == 0) Vector(14, 18, 22)(r.nextInt(3)) else 0
+        val sized = stylePx > 0
+        val (ph, pe) = sentence(r, vocab, 8 + r.nextInt(53), attr, heading = sized)
         // at most one short link per paragraph keeps link density << 1/3
         val (bodyH, bodyE) =
           if (r.nextInt(4) == 0) {
             val lw = r.pick(vocab)
-            attr.add(lw); attr.add(".")
+            attr.add(lw, h = sized); attr.add(".", h = sized)
             (s"""$ph <a href="/ref/${r.nextInt(99)}">$lw</a>.""", s"$pe $lw.")
           } else {
-            attr.add(".")
+            attr.add(".", h = sized)
             (s"$ph.", s"$pe.")
           }
-        html ++= s"<p>$bodyH</p>\n"
-        expected += (("p", bodyE))
+        val open = if (sized) s"""<p style="font-size:${stylePx}px">""" else "<p>"
+        html ++= s"$open$bodyH</p>\n"
+        expected += (("p", bodyE, stylePx))
         p += 1
       }
       r.nextInt(5) match {
@@ -289,29 +326,34 @@ object PageGen {
           val items = (0 until 2 + r.nextInt(4))
             .map(_ => sentence(r, vocab, 5 + r.nextInt(6), attr, heading = false))
           html ++= "<ul>" + items.map(i => s"<li>${i._1}</li>").mkString + "</ul>\n"
-          expected ++= items.map(i => ("li", i._2))
+          expected ++= items.map(i => ("li", i._2, 0))
         case 1 => // table: cells ≥5 words
           val rows = (0 until 1 + r.nextInt(3)).map { _ =>
             (0 until 2).map(_ => sentence(r, vocab, 5 + r.nextInt(4), attr, heading = false))
           }
           html ++= "<table>" + rows.map(row =>
             "<tr>" + row.map(c => s"<td>${c._1}</td>").mkString + "</tr>").mkString + "</table>\n"
-          expected ++= rows.flatMap(_.map(c => ("td", c._2)))
+          expected ++= rows.flatMap(_.map(c => ("td", c._2, 0)))
           nTables += 1
           tableRows += rows.length
           tableCells += rows.length * 2
           // table-structure pseudo-geometry: each row splits the 880px
           // content width evenly over its cells, rows are 20px bands
           cellArea += rows.length.toLong * 2L * ((PageW - 2 * MarginX) / 2).toLong * LineH
-        case 2 => // blockquote
-          val (qh, qe) = sentence(r, vocab, 6 + r.nextInt(12), attr, heading = false)
-          html ++= s"<blockquote>$qh</blockquote>\n"
-          expected += (("blockquote", qe))
+        case 2 => // blockquote; half carry a whole-block inline color style
+          val styled = r.nextInt(2) == 0
+          val qc = if (styled) r.pick(fontColors) else ""
+          val (qh, qe) = sentence(r, vocab, 6 + r.nextInt(12), attr,
+            heading = false, colored = styled)
+          val open =
+            if (styled) s"""<blockquote style="color:$qc">""" else "<blockquote>"
+          html ++= s"$open$qh</blockquote>\n"
+          expected += (("blockquote", qe, 0))
         case 3 if r.nextInt(2) == 0 => // pre: internal newlines normalise to spaces
           val lines = (0 until 2 + r.nextInt(3)).map(_ => s"val x${r.nextInt(99)} = ${r.nextInt(999)}")
           lines.foreach(l => attr.add(l))
           html ++= s"<pre>${lines.mkString("\n")}</pre>\n"
-          expected += (("pre", lines.mkString(" ")))
+          expected += (("pre", lines.mkString(" "), 0))
         case _ =>
       }
       s += 1
@@ -339,9 +381,15 @@ object PageGen {
     var lineCursor = 1
     var yCursor = MarginX
     var lineHSum = 0L
+    // size_px_sum spans ALL blocks the attribute walk emits, chrome
+    // included (like the char totals): the header's h1 (32) and the
+    // aside's h3 (24) are always present; every other chrome block is
+    // size-0 body text
+    var sizePxSum = 32L + 24L
     var i = 0
     while (i < expected.length) {
-      val (tag, text) = expected(i)
+      val (tag, text, stylePx) = expected(i)
+      sizePxSum += (if (stylePx > 0) stylePx else defaultPx(tag))
       if (i > 0) off += 1 // '\n' separator
       val start = off
       off += text.length
@@ -358,7 +406,7 @@ object PageGen {
     val expectedText = expected.iterator.map(_._2).mkString("\n")
     val meta = PageMeta(url, expected.length,
       attr.total, attr.bold, attr.italic, attr.under, attr.strike, attr.heading,
-      attr.colored,
+      attr.colored, sizePxSum,
       nTables, tableRows, tableCells, cellArea,
       n_lines = expected.length, line_h_sum = lineHSum)
 

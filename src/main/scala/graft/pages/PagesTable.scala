@@ -15,7 +15,7 @@ import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
   */
 object PagesTable {
   val Seed = 42L
-  val Version = "v3"
+  val Version = "v4"
 
   /** Row count per scale-factor directory name. */
   def rowsFor(sfName: String): Long = sfName match {
