@@ -8,11 +8,12 @@ import graft.sim.Ann
 import graft.text.{LangId, ScriptId, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator family
-  * (SURVEY.md §2), each with DuckDB oracle SQL where the semantics are
-  * SQL-expressible; purely per-page layout operators whose expectation is
-  * not generator-derivable (ensemble merges over jittered boxes, column
-  * grouping) get rows-only checks and are covered instead by
-  * reference-executed goldens under `sbt test`.
+  * (SURVEY.md §2), each with DuckDB oracle SQL. The per-page ensemble /
+  * column queries over derived jittered box sets (l2/l3/l5) read
+  * expectation sidecars produced by executing the REFERENCE's own
+  * merge/column algorithms over the span geometry
+  * (tools/gen_layout_sidecars.py) — every query on the board is
+  * hash-checked; none are rows-only.
   *
   * The `pages` table (BASELINE.json input_hint shape) is synthesised
   * deterministically (PageGen, seed 42) and materialised under
@@ -283,6 +284,10 @@ object SparkEntry {
     val pages = s"read_parquet('$pagesDir/*.parquet')"
     val spansG = s"read_parquet('${pagesDir}_spans/*.parquet')"
     val metaG = s"read_parquet('${pagesDir}_meta/*.parquet')"
+    // expectation sidecars for the derived-box-set queries, produced by
+    // executing the reference's own merge/column algorithms over the
+    // span geometry (tools/gen_layout_sidecars.py; committed)
+    val sidecars = "/root/repo/src/test/resources/golden/sidecars"
     val tok = "string_split_regex(trim(text), '\\s+')"
     val shingles =
       s"""(SELECT doc_id, unnest(
@@ -327,6 +332,22 @@ object SparkEntry {
              FROM $metaG"""),
       "l4_projection_lines" ->
         s"SELECT url, n_lines, CAST(line_h_sum AS BIGINT) AS line_height_sum FROM $metaG",
+      // reference-executed expectations (merge_all_regions_with_stats /
+      // merge_3_new / the validated column chain) over the derived
+      // jittered box sets — see tools/gen_layout_sidecars.py
+      "l2_merge_ensemble" ->
+        (s"""SELECT url, CAST(n_merged AS INT) AS n_merged,
+               CAST(order_sum AS BIGINT) AS order_sum
+             FROM read_parquet('$sidecars/sf0.01_merge2.parquet')"""),
+      "l3_merge3_v3" ->
+        (s"""SELECT url, CAST(n_merged AS INT) AS n_merged,
+               CAST(order_sum AS BIGINT) AS order_sum
+             FROM read_parquet('$sidecars/sf0.01_merge3v3.parquet')"""),
+      "l5_columns" ->
+        (s"""SELECT url, CAST(n_paras AS INT) AS n_paras,
+               CAST(n_cols AS INT) AS n_cols,
+               CAST(order_sum AS BIGINT) AS order_sum
+             FROM read_parquet('$sidecars/sf0.01_cols.parquet')"""),
       // stacked single-column geometry: every edge expands exactly to the
       // first blank strip (1px) then pads 5, clamps never bind (margins)
       "l10_postprocess" ->

@@ -1,0 +1,446 @@
+#!/usr/bin/env python3
+"""Expectation-sidecar generator for the l2/l3/l5 oracle queries
+(driver-side tooling, NOT part of the library).
+
+The three per-page ensemble/column queries run over DERIVED detector box
+sets — set1 = the page's golden span geometry (the `<sf>_spans` sidecar,
+itself oracle-checked by l1 against the extractor), set2/set3 =
+deterministic jitters of set1 (pure functions of the geometry, mirrored
+from LayoutQueries.jitter). Their expected outputs therefore ARE
+generator-derivable: this tool
+
+  - l2: executes the reference's own `merge_all_regions_with_stats`
+    (server/modules/main/helper.py:215-319) over (set1, set2) per page;
+  - l3: executes the reference's own `merge_3_new`
+    (merge_codes/merge_ajoy_openseg_craft_v3.py:423-514) over
+    (set1, set2, set3) per page;
+  - l5: runs a numpy re-derivation of the reference's reading-order
+    column chain (find_closest_neighbors -> kde thresholds -> 4-direction
+    links -> connected components -> paragraph envelopes ->
+    get_paragraph_order -> get_col), VALIDATED stage-by-stage in this
+    script against the reference-executed golden JSONs under
+    src/test/resources/golden/ro/ before any sidecar row is produced.
+    The degenerate-KDE extension (n < 2 or zero variance -> ceil(max)),
+    which the reference's scipy call cannot represent (it crashes), is
+    the library's documented behaviour (geom/Kde.scala) and is mirrored
+    here. `get_col` (column_utils.py:135-161) returns None in the
+    reference (visualisation tail), so its Col loop is re-derived
+    line-by-line from the source — the same sanctioned treatment as the
+    numpy KDE re-derivation in gen_goldens.py.
+
+and writes three small parquet sidecars under
+src/test/resources/golden/sidecars/ (committed — the oracle SQL reads
+them by absolute path; data/ itself is gitignored and regenerated).
+
+Nothing from the reference is copied into the repo; only expected
+OUTPUTS are persisted.
+"""
+import io
+import contextlib
+import json
+import math
+import os
+import sys
+from collections import defaultdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+REF = "/root/reference/server/modules/main"
+REPO = "/root/repo"
+OUT = f"{REPO}/src/test/resources/golden/sidecars"
+RO_GOLDEN = f"{REPO}/src/test/resources/golden/ro"
+os.makedirs(OUT, exist_ok=True)
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "sf0.01"
+PAGES_VER = sys.argv[2] if len(sys.argv) > 2 else "v4"
+SPANS = f"{REPO}/data/pages_{PAGES_VER}/{SF}_spans"
+
+
+# ---------------------------------------------------------------------------
+# reference merge loading (same technique as gen_goldens.py: exec the pure
+# tail of helper.py, import the v3 merge module in place)
+# ---------------------------------------------------------------------------
+def load_merge2():
+    with open(f"{REF}/helper.py") as f:
+        src = f.read()
+    g = {"defaultdict": defaultdict, "json": json, "os": os}
+    exec(src[src.index("def boxes_overlap_adjusted"):], g)
+    return g["merge_all_regions_with_stats"]
+
+
+merge2 = load_merge2()
+sys.path.insert(0, f"{REF}/processors/merge_codes")
+import merge_ajoy_openseg_craft_v3 as m3v3  # noqa: E402
+
+
+# ---------------------------------------------------------------------------
+# derived box sets (mirrors LayoutQueries.blockBoxes / jitter exactly)
+# ---------------------------------------------------------------------------
+def set1_regions(rows):
+    """rows: list of (x, y, w, h, line) in idx order -> reference dicts.
+    Region(order = i+1, label = "", confidence = 0.0) per blockBoxes."""
+    return [
+        {"bounding_box": {"x": int(x), "y": int(y), "w": int(w), "h": int(h)},
+         "order": i + 1, "label": "", "line": int(line), "confidence": 0.0}
+        for i, (x, y, w, h, line) in enumerate(rows)
+    ]
+
+
+def jitter(regions, dx, dy, grow):
+    out = []
+    for r in regions:
+        b = r["bounding_box"]
+        out.append({
+            "bounding_box": {
+                "x": b["x"] + dx + (b["y"] % 3),
+                "y": b["y"] + dy + (b["x"] % 3),
+                "w": max(1, b["w"] + grow),
+                "h": max(1, b["h"] + grow)},
+            "order": 0, "label": "", "line": r["line"], "confidence": 0.0})
+    return out
+
+
+# ---------------------------------------------------------------------------
+# numpy re-derivation of the l5 chain
+# ---------------------------------------------------------------------------
+def midpoints(xywh):
+    """xywh: (n,4) int array -> (top, bottom, left, right) midpoint arrays,
+    each (n,2) float (neighbor_utils.calculate_center_points)."""
+    x1 = xywh[:, 0].astype(float)
+    y1 = xywh[:, 1].astype(float)
+    x2 = (xywh[:, 0] + xywh[:, 2]).astype(float)
+    y2 = (xywh[:, 1] + xywh[:, 3]).astype(float)
+    top = np.stack([(x1 + x2) / 2, y1], axis=1)
+    bottom = np.stack([(x1 + x2) / 2, y2], axis=1)
+    left = np.stack([x1, (y1 + y2) / 2], axis=1)
+    right = np.stack([x2, (y1 + y2) / 2], axis=1)
+    return top, bottom, left, right
+
+
+def pdist(a, b):
+    """(n,2),(m,2) -> (n,m) euclidean."""
+    d = a[:, None, :] - b[None, :, :]
+    return np.sqrt((d * d).sum(axis=2))
+
+
+def closest_neighbors(top, bottom, left, right):
+    """find_closest_neighbors: per box, mean of the 3 smallest horizontal /
+    vertical edge-midpoint distances (sum(sorted[:3])/3, fewer-than-3
+    still divide by 3)."""
+    n = len(top)
+    lr = pdist(left, right)   # euclid(Left_i, Right_j)
+    rl = pdist(right, left)
+    bt = pdist(bottom, top)
+    tb = pdist(top, bottom)
+    eye = np.eye(n, dtype=bool)
+    horizontal = np.empty(n)
+    vertical = np.empty(n)
+    for i in range(n):
+        h = np.concatenate([lr[i][~eye[i]], rl[i][~eye[i]]])
+        v = np.concatenate([tb[i][~eye[i]], bt[i][~eye[i]]])
+        h.sort()
+        v.sort()
+        horizontal[i] = h[:3].sum() / 3.0
+        vertical[i] = v[:3].sum() / 3.0
+    return horizontal, vertical
+
+
+def kde_estimate_d(data, direction):
+    """kde_utils.kde_estimate_d via the validated numpy gaussian
+    re-derivation (gen_goldens.py / KdeSpec), plus the library's
+    documented degenerate extension: n < 2 or zero variance or non-finite
+    -> ceil(max) (geom/Kde.scala `degenerate`)."""
+    data = np.asarray(data, dtype=float)
+    n = len(data)
+    if n < 2 or not np.isfinite(data).all() or data.var(ddof=1) <= 0.0:
+        return math.ceil(data.max())
+    factor = n ** (-1.0 / 5.0) if direction == "horizontal" else 0.1
+    bw2 = factor * factor * data.var(ddof=1)
+    xs = np.linspace(data.min(), data.max(), 1000)
+    ys = np.exp(-((xs[:, None] - data[None, :]) ** 2) / (2 * bw2)).sum(axis=1)
+    return math.ceil(xs[int(np.argmax(ys))])
+
+
+def four_links(top, bottom, left, right, x_thr, y_thr):
+    """calculate_{right,left,top,bottom}box. Right: d(Left_i, Right_j) <= x
+    (inclusive) with |Right_i.y - Left_j.y| < 20; Left: d(Right_i, Left_j)
+    < x with |Left_i.y - Right_j.y| < 20; Top: d(Bottom_i, Top_j) < y;
+    Bottom: d(Top_i, Bottom_j) < y. Winner = first argmin over qualifying
+    j. Returns four (dist, id) lists with (-1, 0) when none."""
+    n = len(top)
+    lr = pdist(left, right)
+    rl = pdist(right, left)
+    bt = pdist(bottom, top)
+    tb = pdist(top, bottom)
+    eye = np.eye(n, dtype=bool)
+    dy_r = np.abs(right[:, 1][:, None] - left[:, 1][None, :])
+    dy_l = np.abs(left[:, 1][:, None] - right[:, 1][None, :])
+
+    def pick(dmat, mask):
+        out = []
+        for i in range(n):
+            m = mask[i]
+            if m.any():
+                js = np.flatnonzero(m)
+                d = dmat[i][js]
+                t = int(np.argmin(d))
+                out.append((float(d[t]), int(js[t])))
+            else:
+                out.append((-1.0, 0))
+        return out
+
+    right_box = pick(lr, (lr <= x_thr) & ~eye & (dy_r < 20))
+    left_box = pick(rl, (rl < x_thr) & ~eye & (dy_l < 20))
+    top_box = pick(bt, (bt < y_thr) & ~eye)
+    bottom_box = pick(tb, (tb < y_thr) & ~eye)
+    return right_box, left_box, top_box, bottom_box
+
+
+def components_of(n, link_sets):
+    """Undirected union of the four link graphs; components in first-seen
+    node order (== networkx over nodes added 0..n-1), members ascending."""
+    adj = [[] for _ in range(n)]
+    for links in link_sets:
+        for i, (d, j) in enumerate(links):
+            if d != -1:
+                adj[i].append(j)
+                adj[j].append(i)
+    seen = [False] * n
+    comps = []
+    for s in range(n):
+        if seen[s]:
+            continue
+        stack = [s]
+        seen[s] = True
+        comp = []
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for v in adj[u]:
+                if not seen[v]:
+                    seen[v] = True
+                    stack.append(v)
+        comps.append(sorted(comp))
+    return comps
+
+
+def py_round(v):
+    """Python 3 round() = banker's rounding (numpy rint matches)."""
+    return int(np.rint(v))
+
+
+def envelopes(comps, top, bottom, left, right):
+    """recognise_paragraphs head (paragraph.py:31-94): per component the
+    min/max of the rounded member edge midpoints (-1 values skipped);
+    envelope midpoints as floats."""
+    paras = []
+    for count, members in enumerate(comps):
+        l1, r1, t1, b1 = [], [], [], []
+        for m in members:  # euclidean df is Id-ordered; members ascending
+            lv = py_round(left[m][0])
+            rv = py_round(right[m][0])
+            tv = py_round(top[m][1])
+            bv = py_round(bottom[m][1])
+            if lv != -1:
+                l1.append(lv)
+            if rv != -1:
+                r1.append(rv)
+            if tv != -1:
+                t1.append(tv)
+            if bv != -1:
+                b1.append(bv)
+        l, r, t, b = min(l1), max(r1), min(t1), max(b1)
+        paras.append({
+            "Id": count, "members": members,
+            "Top": ((l + r) / 2.0, float(t)),
+            "Bottom": ((l + r) / 2.0, float(b)),
+            "Right": (float(r), (t + b) / 2.0),
+            "Left": (float(l), (t + b) / 2.0),
+            "Order": -1,
+        })
+    return paras
+
+
+def get_paragraph_order(paras):
+    """paragraph.py:340-412: stable x-sort, split into vertical lines at
+    gaps >= mean width, y-sort within each, then sequential orders matched
+    back by ceil'd (Left.x, Top.y) — every matching row is assigned and
+    increments the order counter, like the reference's triple loop."""
+    if not paras:
+        return paras
+    tlbr = [(p["Left"][0], p["Top"][1], p["Right"][0], p["Bottom"][1])
+            for p in paras]
+    sx = sorted(tlbr, key=lambda b: b[0])
+    mean_w = sum(b[2] - b[0] for b in sx) / len(sx)
+    cur = sx[0][0]
+    lines = []
+    temp = []
+    for box in sx:
+        if box[0] >= cur + mean_w:
+            lines.append(temp)
+            temp = [box]
+            cur = box[0]
+            continue
+        temp.append(box)
+    lines.append(temp)
+    for line in lines:
+        line.sort(key=lambda b: b[1])
+    order = 0
+    for line in lines:
+        for box in line:
+            for p in paras:
+                if math.ceil(p["Left"][0]) == math.ceil(box[0]) and \
+                   math.ceil(p["Top"][1]) == math.ceil(box[1]):
+                    p["Order"] = order
+                    order += 1
+    return paras
+
+
+def get_col(paras):
+    """column_utils.py:135-161 `get_col` Col loop, re-derived (the
+    reference function computes Col then returns None): rows re-sorted by
+    (Order, Id) — the groupby("Order")+sort_values("Id") concat — then
+    consecutive rows share a column while bottom_i < top_{i+1} and the
+    gap < 200."""
+    rows = sorted(paras, key=lambda p: (p["Order"], p["Id"]))
+    col_n = 0
+    cols = [0] * len(rows)
+    for i in range(len(rows) - 1):
+        dist = abs(rows[i]["Bottom"][1] - rows[i + 1]["Top"][1])
+        if rows[i]["Bottom"][1] < rows[i + 1]["Top"][1] and dist < 200:
+            cols[i] = col_n
+            cols[i + 1] = col_n
+        else:
+            col_n += 1
+            cols[i + 1] = col_n
+    return rows, cols
+
+
+def l5_chain(xywh):
+    """Full columns() chain -> (n_paras, n_cols, order_sum)."""
+    top, bottom, left, right = midpoints(xywh)
+    h, v = closest_neighbors(top, bottom, left, right)
+    x_thr = kde_estimate_d(h, "horizontal")
+    y_thr = kde_estimate_d(v, "vertical")
+    links = four_links(top, bottom, left, right, x_thr, y_thr)
+    comps = components_of(len(xywh), links)
+    paras = envelopes(comps, top, bottom, left, right)
+    paras = get_paragraph_order(paras)
+    rows, cols = get_col(paras)
+    return len(rows), len(set(cols)), sum(p["Order"] for p in rows)
+
+
+# ---------------------------------------------------------------------------
+# stage-by-stage validation of the fast chain against the
+# reference-executed golden JSONs (tools/gen_ro_goldens.py outputs)
+# ---------------------------------------------------------------------------
+def validate_against_ro_goldens():
+    checked = 0
+    for name in ("ajoy", "openseg", "craft"):
+        path = f"{RO_GOLDEN}/{name}.json"
+        if not os.path.exists(path):
+            raise SystemExit(f"missing RO golden {path} — run gen_ro_goldens.py")
+        g = json.load(open(path))
+        xywh = np.array(g["boxes"], dtype=np.int64)
+        top, bottom, left, right = midpoints(xywh)
+        h, v = closest_neighbors(top, bottom, left, right)
+        assert [round(float(x), 6) for x in h] == g["horizontal"], f"{name}: horizontal"
+        assert [round(float(x), 6) for x in v] == g["vertical"], f"{name}: vertical"
+        x_thr = kde_estimate_d(h, "horizontal")
+        y_thr = kde_estimate_d(v, "vertical")
+        assert x_thr == g["x"], f"{name}: x {x_thr} != {g['x']}"
+        assert y_thr == g["y"], f"{name}: y {y_thr} != {g['y']}"
+        links = four_links(top, bottom, left, right, x_thr, y_thr)
+        for got, key in zip(links, ("right", "left", "top", "bottom")):
+            want = [(round(float(d), 6), int(i)) for d, i in g[key]]
+            gotr = [(round(float(d), 6), int(i)) for d, i in got]
+            assert gotr == want, f"{name}: {key} links"
+        comps = components_of(len(xywh), links)
+        assert comps == [list(map(int, c)) for c in g["components"]], f"{name}: components"
+        paras = envelopes(comps, top, bottom, left, right)
+        for p, w in zip(paras, g["paras_before_pinp"]):
+            assert p["members"] == list(map(int, w["members"])), f"{name}: members"
+            for k in ("Top", "Bottom", "Left", "Right"):
+                assert [round(p[k][0], 6), round(p[k][1], 6)] == \
+                    [round(float(w[k.lower()][0]), 6), round(float(w[k.lower()][1]), 6)], \
+                    f"{name}: envelope {k}"
+        # W4 on the after-pinp table (the stage the golden pins)
+        after = [{"Id": i,
+                  "Top": tuple(map(float, w["top"])),
+                  "Bottom": tuple(map(float, w["bottom"])),
+                  "Left": tuple(map(float, w["left"])),
+                  "Right": tuple(map(float, w["right"])),
+                  "Order": -1}
+                 for i, w in enumerate(g["paras_after_pinp"])]
+        after = get_paragraph_order(after)
+        assert [p["Order"] for p in after] == list(map(int, g["w4_orders"])), \
+            f"{name}: w4 orders"
+        checked += 1
+    print(f"fast-chain validation: {checked} fixtures, all stages identical")
+
+
+validate_against_ro_goldens()
+
+# ---------------------------------------------------------------------------
+# load spans, build per-page sets, execute
+# ---------------------------------------------------------------------------
+if not os.path.isdir(SPANS):
+    raise SystemExit(f"spans sidecar missing: {SPANS} — run graft.Verify once")
+
+con = duckdb.connect()
+spans = con.sql(
+    f"SELECT url, idx, x, y, w, h, line FROM read_parquet('{SPANS}/*.parquet') "
+    "ORDER BY url, idx").df()
+pages = {}
+for url, grp in spans.groupby("url", sort=False):
+    pages[url] = list(zip(grp["x"], grp["y"], grp["w"], grp["h"], grp["line"]))
+print(f"{len(pages)} pages, {len(spans)} spans from {SPANS}")
+
+# l2 / l3: batch ALL pages into single reference-merge calls (the merge
+# functions iterate their image maps) — deep-fresh dicts per call because
+# the reference mutates inputs in place.
+def batch(setfn):
+    return [{"image_name": url, "regions": setfn(rows)}
+            for url, rows in pages.items()]
+
+
+print("executing reference 2-way merge over", len(pages), "pages ...")
+with contextlib.redirect_stdout(io.StringIO()):
+    res2, *_ = merge2(batch(lambda r: set1_regions(r)),
+                      batch(lambda r: jitter(set1_regions(r), 3, 2, 4)))
+l2_rows = [(e["image_name"], len(e["regions"]),
+            sum(int(r["order"]) for r in e["regions"])) for e in res2]
+
+print("executing reference v3 3-way merge ...")
+with contextlib.redirect_stdout(io.StringIO()):
+    res3 = m3v3.merge_3_new(
+        batch(lambda r: set1_regions(r)),
+        batch(lambda r: jitter(set1_regions(r), 3, 2, 4)),
+        batch(lambda r: jitter(set1_regions(r), -2, 5, -2)))
+l3_rows = [(e["image_name"], len(e["regions"]),
+            sum(int(r["order"]) for r in e["regions"])) for e in res3]
+
+print("running the validated column chain ...")
+l5_rows = []
+for url, rows in pages.items():
+    xywh = np.array([(x, y, w, h) for (x, y, w, h, _) in rows], dtype=np.int64)
+    n_paras, n_cols, order_sum = l5_chain(xywh)
+    l5_rows.append((url, n_paras, n_cols, order_sum))
+
+# ---------------------------------------------------------------------------
+# write sidecars
+# ---------------------------------------------------------------------------
+def write(name, df):
+    path = f"{OUT}/{SF}_{name}.parquet"
+    con.register("t", df)
+    con.sql(f"COPY t TO '{path}' (FORMAT PARQUET, COMPRESSION ZSTD)")
+    con.unregister("t")
+    print(" ", path, os.path.getsize(path), "bytes,", len(df), "rows")
+
+
+write("merge2", pd.DataFrame(l2_rows, columns=["url", "n_merged", "order_sum"]))
+write("merge3v3", pd.DataFrame(l3_rows, columns=["url", "n_merged", "order_sum"]))
+write("cols", pd.DataFrame(l5_rows, columns=["url", "n_paras", "n_cols", "order_sum"]))
+print("done")
