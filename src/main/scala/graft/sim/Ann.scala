@@ -101,7 +101,12 @@ object Ann {
     * cells and ranks exactly within the probed candidates. Recall rises
     * with nprobe at linear cost; per-cell joins replace the quadratic
     * cross join of [[cosineKnn]]. The assignment is persisted so home and
-    * probe legs share one computation. */
+    * probe legs share one computation.
+    *
+    * NOTE: the persisted assignment lives until the caller drops it —
+    * callers that build many indexes in one session (Bench's recall loop)
+    * should `spark.catalog.clearCache()` between runs, or cached
+    * assignment blocks accumulate for the session lifetime. */
   def ivfKnn(emb: DataFrame, k: Int, cells: Int = 0, nprobe: Int = 4): DataFrame = {
     val assign = ivfAssign(emb, cells, nprobe)
       .persist(StorageLevel.MEMORY_AND_DISK)

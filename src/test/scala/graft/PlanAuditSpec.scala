@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FormattedMode
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Physical-plan assertions for the scale-path queries: the properties
+  * that make them survive a 100× scale-up are pinned here, not just
+  * eyeballed in the PlanAudit dump — a regression that reintroduces a
+  * cartesian product, drops a pushed filter, or unbounds the centroid
+  * broadcast fails the suite. */
+class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val sf = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  private def assertNoCartesian(p: String, what: String): Unit =
+    assert(!p.contains("CartesianProduct"),
+      s"$what must not plan a cartesian product:\n$p")
+
+  test("t11 LSH pairs: banded equi-join, no cartesian, partial aggregation") {
+    val p = plan("t11_lsh_pairs")
+    assertNoCartesian(p, "t11")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"banded bucket join must be an equi-join:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "minhash signature aggregation must be map-side combinable")
+  }
+
+  test("t14 simhash pairs (narrow AND wide config): banded equi-join, no cartesian") {
+    val narrow = plan("t14_simhash_pairs")
+    assertNoCartesian(narrow, "t14")
+    assert(narrow.contains("SortMergeJoin") || narrow.contains("BroadcastHashJoin"))
+    val wide = graft.text.TextOps
+      .simhashPairs(spark.read.parquet(s"$sf/documents.parquet"),
+        maxHamming = 3, bits = 60, bands = 4)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(wide, "t14_wide")
+    assert(wide.contains("SortMergeJoin") || wide.contains("BroadcastHashJoin"),
+      s"wide simhash config must keep the banded equi-join shape:\n$wide")
+  }
+
+  test("e2 IVF: centroid side broadcast (bounded), one assignment, no extra count action") {
+    val p = plan("e2_knn_ivf")
+    assert(p.contains("BroadcastExchange"),
+      s"centroids (and the 1-row parameter aggregate) must broadcast:\n$p")
+    // the home/probe legs join on cell equality — an equi-join, never a
+    // vector cross join
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"cell join must be an equi-join:\n$p")
+    // the cells/stride parameters fold into the SAME plan (a 1-row
+    // aggregate under a broadcast nested loop), so building the DataFrame
+    // triggers no count() job on the driver
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "top-k must rank within cells, not collect")
+  }
+
+  test("IVF centroid broadcast stays bounded by the cell cap") {
+    // the capped auto-cell count bounds the broadcast row count: even at
+    // 10^9 vectors the centroid table is <= 4096 rows (~2 MB at dim 128)
+    assert(graft.sim.Ann.autoCells(Long.MaxValue) == graft.sim.Ann.MaxAutoCells)
+    // and the explicit-cells path honours the caller's bound
+    val assign = graft.sim.Ann.ivfAssign(
+      spark.read.parquet(s"$sf/embeddings.parquet"), cells = 8, nprobe = 2)
+    val cells = assign.select("cell").distinct().count()
+    assert(cells <= 16, s"~8 cells requested, got $cells distinct cells")
+  }
+
+  test("x3 resume anti-join prunes both scans to the url column") {
+    val p = plan("x3_resume_antijoin")
+    assert(p.contains("LeftAnti"), s"resume must be a left-anti join:\n$p")
+    assertNoCartesian(p, "x3")
+  }
+
+  test("extraction scan reads only url+html and pushes no-salt plan shuffle-free") {
+    import graft.jobs.{ExtractionJob, JobConfig}
+    val pagesPath = graft.pages.PagesTable.ensure(spark, "sf0.001")
+    val p = ExtractionJob.planWorkSet(
+        spark, JobConfig(pagesPath, "/tmp/pa_out", saltBuckets = 0))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<url:string,html:binary>"))
+    assert(!p.toLowerCase.contains("exchange"))
+  }
+}

@@ -149,6 +149,34 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recall collapsed: $hits/$total (expected ~0.40, gate at 0.30, on isotropic sf0.001 data)")
   }
 
+  test("e4 threshold has a real margin: no pair within 1e-6 of 0.42 on the fixed data") {
+    // The e4 oracle compares a float predicate (sim >= 0.42) across two
+    // engines whose summation order may differ in the last ulp; the
+    // comparison is only stable because no pair sits at the threshold.
+    // Pin that property on the fixed test data so a regenerated dataset
+    // that lands a pair on the boundary fails here, deterministically,
+    // rather than nondeterministically at the driver compare. Checked at
+    // sf0.01 — the scale the driver's oracle actually compares at.
+    val vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      .select("vec_id", "embedding").collect().map { r =>
+        r.getLong(0) -> r.getSeq[Float](1).iterator.map(_.toDouble).toArray
+      }.toMap
+    val ids = vecs.keys.toArray.sorted
+    var minGap = Double.MaxValue
+    var i = 0
+    while (i < ids.length) {
+      var j = i + 1
+      while (j < ids.length) {
+        val gap = math.abs(cosine(vecs(ids(i)), vecs(ids(j))) - 0.42)
+        if (gap < minGap) minGap = gap
+        j += 1
+      }
+      i += 1
+    }
+    info(f"min |sim - 0.42| = $minGap%.2e")
+    assert(minGap > 1e-6, f"a pair sits within $minGap%.2e of the e4 threshold")
+  }
+
   test("near-duplicate pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Ann.cosineDupPairs(emb, threshold = 0.95).collect()
