@@ -539,7 +539,14 @@ object SparkEntry {
           "arabic" -> "[\\x{0600}-\\x{06FF}]",
           "han" -> "[\\x{4E00}-\\x{9FFF}]",
           "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
-          "gurmukhi" -> "[\\x{0A00}-\\x{0A7F}]")
+          "gurmukhi" -> "[\\x{0A00}-\\x{0A7F}]",
+          "bengali" -> "[\\x{0980}-\\x{09FF}]",
+          "gujarati" -> "[\\x{0A80}-\\x{0AFF}]",
+          "oriya" -> "[\\x{0B00}-\\x{0B7F}]",
+          "tamil" -> "[\\x{0B80}-\\x{0BFF}]",
+          "telugu" -> "[\\x{0C00}-\\x{0C7F}]",
+          "kannada" -> "[\\x{0C80}-\\x{0CFF}]",
+          "malayalam" -> "[\\x{0D00}-\\x{0D7F}]")
         val counts = ScriptId.profiles.map { case (name, _) =>
           s"length(text) - length(regexp_replace(text, '${re2(name)}', '', 'g')) AS ${name}_chars"
         }.mkString(", ")

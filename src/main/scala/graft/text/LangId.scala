@@ -20,7 +20,12 @@ object LangId {
     // Punjabi (Gurmukhi) stopwords — the reference's own 2-class en/pa and
     // hi/pa language endpoints make "pa" a first-class language here
     // (reference: lang_iden_2class_enpa.sh, lang_iden_2class_hipa.sh)
-    "pa" -> Seq("ਦੇ", "ਦੀ", "ਦਾ", "ਨੂੰ", "ਹੈ", "ਵਿੱਚ", "ਅਤੇ", "ਇਹ", "ਨਾਲ", "ਤੋਂ"))
+    "pa" -> Seq("ਦੇ", "ਦੀ", "ਦਾ", "ਨੂੰ", "ਹੈ", "ਵਿੱਚ", "ਅਤੇ", "ਇਹ", "ਨਾਲ", "ਤੋਂ"),
+    // broader Indic breadth of the NLTM domain: the scripts are disjoint
+    // Unicode blocks, so these profiles can never collide with each other
+    "bn" -> Seq("এবং", "এই", "করে", "থেকে", "হয়", "একটি", "যে", "তার", "সঙ্গে", "ছিল"),
+    "ta" -> Seq("மற்றும்", "இந்த", "ஒரு", "என்று", "அது", "இது", "ஆனால்", "அவர்", "என", "மிகவும்"),
+    "te" -> Seq("మరియు", "ఈ", "ఒక", "అది", "ఇది", "కానీ", "అతను", "ఆమె", "నుండి", "తో"))
 
   /** (doc table, text column name) → doc_id + predicted language. */
   def predict(docs: DataFrame, idCol: String = "doc_id",

@@ -27,7 +27,17 @@ object ScriptId {
     // U+0A00–0A7F — the script of the reference's own corpus (its
     // endpoints classify en/pa and hi/pa Punjabi documents:
     // reference lang_iden_2class_enpa.sh / _hipa.sh, script_iden_v1.sh)
-    "gurmukhi" -> "[਀-੿]")
+    "gurmukhi" -> "[਀-੿]",
+    // the remaining major Indic blocks of the reference's NLTM domain
+    // (Indian-language document processing): one contiguous Unicode
+    // block each, mutually disjoint
+    "bengali" -> "[ঀ-৿]",      // U+0980–09FF
+    "gujarati" -> "[઀-૿]",     // U+0A80–0AFF
+    "oriya" -> "[଀-୿]",        // U+0B00–0B7F
+    "tamil" -> "[஀-௿]",       // U+0B80–0BFF
+    "telugu" -> "[ఀ-౿]",      // U+0C00–0C7F
+    "kannada" -> "[ಀ-೿]",     // U+0C80–0CFF
+    "malayalam" -> "[ഀ-ൿ]")   // U+0D00–0D7F
 
   private def countOf(textCol: Column, cls: String): Column =
     length(textCol) - length(regexp_replace(textCol, cls, ""))

@@ -69,4 +69,16 @@ class LangIdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(2L) == "en")
     assert(got(3L) == "hi")
   }
+
+  test("broader Indic languages classify from native-script stopwords") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "এবং এই বইটি টেবিলের উপরে ছিল যে তার সঙ্গে একটি"),
+      (2L, "இந்த புத்தகம் மேசையில் உள்ளது என்று அவர் ஒரு மற்றும் அது"),
+      (3L, "ఈ పుస్తకం బల్ల మీద ఉంది మరియు అతను ఒక అది నుండి")
+    ).toDF("doc_id", "text")
+    val got = LangId.predict(d).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "bn", 2L -> "ta", 3L -> "te"))
+  }
 }

@@ -60,6 +60,31 @@ class ScriptIdSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(field(3L, "pred_script") == "gurmukhi", "majority script wins on mixed text")
   }
 
+  test("broader Indic blocks classify and stay mutually disjoint") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      10L -> "এটি একটি বাংলা বাক্য",          // Bengali
+      11L -> "આ એક ગુજરાતી વાક્ય છે",         // Gujarati
+      12L -> "ଏହା ଏକ ଓଡ଼ିଆ ବାକ୍ୟ",            // Oriya
+      13L -> "இது ஒரு தமிழ் வாக்கியம்",        // Tamil
+      14L -> "ఇది ఒక తెలుగు వాక్యం",           // Telugu
+      15L -> "ಇದು ಒಂದು ಕನ್ನಡ ವಾಕ್ಯ",          // Kannada
+      16L -> "ഇത് ഒരു മലയാള വാക്യം").toDF("doc_id", "text") // Malayalam
+    val got = ScriptId.predict(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(r.length - 1)).toMap
+    assert(got == Map(10L -> "bengali", 11L -> "gujarati", 12L -> "oriya",
+      13L -> "tamil", 14L -> "telugu", 15L -> "kannada", 16L -> "malayalam"))
+    // disjointness: each snippet profiles to exactly one Indic block
+    val rows = ScriptId.predict(docs).collect()
+    for (r <- rows) {
+      val counts = ScriptId.profiles.map { case (n, _) =>
+        r.getInt(r.fieldIndex(s"${n}_chars"))
+      }
+      assert(counts.count(_ > 0) == 1, s"overlapping ranges for ${r.getLong(0)}")
+    }
+  }
+
   test("counts are per-character exact and mixed text picks the majority") {
     val s = spark
     import s.implicits._
