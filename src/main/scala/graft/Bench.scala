@@ -182,6 +182,19 @@ object Bench {
       results += "t14_wide" -> sec
     }
 
+    // past-the-cap scale path: hierarchical (coarse->fine) IVF — the
+    // assignment strategy for >4096-cell corpora; measured at the same
+    // k/effective-coverage as e2
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (_, sec) = time {
+        graft.sim.Ann.ivfKnnHierarchical(emb, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      results += "e2h_knn_ivf_hier" -> sec
+      spark.catalog.clearCache()
+    }
+
     val total = results.values.sum // headline total (excludes baselines)
 
     // O(n²) baseline, reported separately

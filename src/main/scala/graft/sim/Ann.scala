@@ -96,6 +96,77 @@ object Ann {
       .select(col("vec_id"), col("cell"), col("rn"), col("e"))
   }
 
+  /** Two-level (coarse → fine) IVF assignment — the scale path PAST the
+    * [[MaxAutoCells]] cap. A flat assignment scores every vector against
+    * all C centroids (O(n·C) dot products, C-row broadcast); here each
+    * vector scores K1 coarse centroids, then only the ~K2 fine centroids
+    * OF ITS COARSE CELL via an equi-join on the coarse cell id — total
+    * O(n·(K1+K2)) with a K1-row broadcast and a shuffled equi-join whose
+    * fine side is K1·K2 rows spread over K1 keys. With K1 = K2 = 1024
+    * that is ~10⁶ effective cells from ~2k dot products per vector,
+    * where flat assignment would need 10⁶.
+    *
+    * Same deterministic md5-stride sampling as the flat index (coarse
+    * seeds salted "c:", fine seeds salted "f:"); same output shape as
+    * [[ivfAssign]]: (vec_id, cell, rn, e) with rn ranking the `nprobe`
+    * nearest fine cells among the `nprobeCoarse` probed coarse cells —
+    * so [[ivfKnn]]'s join shape works on top unchanged. */
+  def ivfAssignHierarchical(emb: DataFrame, coarseCells: Int = 64,
+                            finePerCoarse: Int = 64, nprobeCoarse: Int = 2,
+                            nprobe: Int = 4): DataFrame = {
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    // strides from the folded 1-row aggregate (no separate count action):
+    // coarse ≈ n/K1 rows, fine ≈ n/(K1·K2) rows ≈ K2 per coarse cell
+    val par = v.agg(count(lit(1)).as("n")).select(
+      greatest(lit(1L), floor(col("n") / coarseCells).cast("long")).as("cstride"),
+      greatest(lit(1L), floor(col("n") / (coarseCells.toLong * finePerCoarse)).cast("long"))
+        .as("fstride"))
+    val vp = v.crossJoin(broadcast(par))
+    val coarse = centroids(vp, col("cstride"))
+    val wC = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("ccell").asc)
+    val coarseAssign = vp
+      .crossJoin(broadcast(coarse.select(col("cell").as("ccell"), col("c").as("cc"))))
+      .withColumn("d", dot(col("e"), col("cc")) /
+        (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("cc"), col("cc")))) * -1)
+      .withColumn("rnc", row_number().over(wC))
+      .filter(col("rnc") <= nprobeCoarse)
+      .select(col("vec_id"), col("e"), col("ccell"), col("rnc"), col("fstride"))
+    // fine centroids: hash-sampled vectors, each carrying its HOME coarse
+    // cell (rnc = 1) — the per-cell codebook the equi-join distributes
+    val fine = coarseAssign.filter(col("rnc") === 1)
+      .filter(pmod(graft.text.TextOps.md5Hash60(
+        concat(lit("f:"), col("vec_id").cast("string"))), col("fstride")) === 0)
+      .select(col("ccell").as("fccell"), col("vec_id").as("fcell"), col("e").as("fc"))
+    val wF = Window.partitionBy(col("vec_id")).orderBy(col("fd").asc, col("fcell").asc)
+    coarseAssign
+      .join(fine, col("ccell") === col("fccell"))
+      .withColumn("fd", dot(col("e"), col("fc")) /
+        (sqrt(dot(col("e"), col("e"))) * sqrt(dot(col("fc"), col("fc")))) * -1)
+      .withColumn("rn", row_number().over(wF))
+      .filter(col("rn") <= nprobe)
+      .select(col("vec_id"), col("fcell").as("cell"), col("rn"), col("e"))
+  }
+
+  /** [[ivfKnn]] on the hierarchical assignment: identical per-cell join
+    * + windowed top-k, only the assignment strategy differs. */
+  def ivfKnnHierarchical(emb: DataFrame, k: Int, coarseCells: Int = 64,
+                         finePerCoarse: Int = 64, nprobeCoarse: Int = 2,
+                         nprobe: Int = 4): DataFrame = {
+    val assign = ivfAssignHierarchical(emb, coarseCells, finePerCoarse,
+      nprobeCoarse, nprobe).persist(StorageLevel.MEMORY_AND_DISK)
+    val l = assign.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"),
+      sqrt(dot(col("e"), col("e"))).as("na"))
+    val r = assign.filter(col("rn") === 1)
+      .select(col("cell").as("cellr"), col("vec_id").as("b"), col("e").as("eb"),
+        sqrt(dot(col("e"), col("e"))).as("nb"))
+    val sims = l.join(r, col("cell") === col("cellr") && col("a") =!= col("b"))
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+    val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
+    sims.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("rank"))
+  }
+
   /** Approximate top-k, classic IVF shape: the INDEX side holds each
     * vector once (home cell); the QUERY side probes its `nprobe` nearest
     * cells and ranks exactly within the probed candidates. Recall rises

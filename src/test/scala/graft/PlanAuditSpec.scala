@@ -81,6 +81,18 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(cells <= 16, s"~8 cells requested, got $cells distinct cells")
   }
 
+  test("hierarchical IVF: bounded coarse broadcast, fine equi-join on the cell key, no cartesian") {
+    val p = graft.sim.Ann.ivfKnnHierarchical(
+        spark.read.parquet(s"$sf/embeddings.parquet"), k = 5,
+        coarseCells = 8, finePerCoarse = 4)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(p, "hierarchical IVF")
+    assert(p.contains("BroadcastExchange"),
+      s"coarse centroids must broadcast (K1 rows, bounded):\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"fine codebook must attach via an equi-join on the coarse cell:\n$p")
+  }
+
   test("x3 resume anti-join prunes both scans to the url column") {
     val p = plan("x3_resume_antijoin")
     assert(p.contains("LeftAnti"), s"resume must be a left-anti join:\n$p")

@@ -134,6 +134,34 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.8, f"recall $recall%.3f < 0.8 with capped cells + nprobe compensation")
   }
 
+  test("hierarchical IVF (coarse->fine) recovers clustered neighbours") {
+    // the past-the-cap scale path: K1 coarse x K2 fine cells from
+    // O(n*(K1+K2)) assignment work; on clustered data the probed cells
+    // must still contain the true neighbours
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0L until 500L).map { id =>
+      val c = centers((id % 20).toInt)
+      (id, c.map(x => (x + 0.08 * rng.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val exact = Ann.cosineKnn(emb, k = 5).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val approx = Ann.ivfKnnHierarchical(emb, k = 5, coarseCells = 8,
+        finePerCoarse = 4, nprobeCoarse = 2, nprobe = 4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recall = exact.iterator.map { case (id, nbrs) =>
+      (nbrs intersect approx.getOrElse(id, Set.empty)).size.toDouble / nbrs.size
+    }.sum / exact.size
+    info(f"hierarchical IVF recall@5 = $recall%.3f")
+    assert(recall >= 0.8, f"recall $recall%.3f < 0.8 on clustered data")
+    // every vector must receive an assignment (no cell is orphaned)
+    assert(approx.size == 500, s"${500 - approx.size} vectors lost their assignment")
+  }
+
   test("IVF recall@5 at fixed seed is pinned (regression gate)") {
     // The e5_ivf_recall correctness row's spec-side twin: on the fixed
     // sf0.001 embeddings the (hits, total) pair is deterministic; a
