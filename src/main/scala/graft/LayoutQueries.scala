@@ -168,6 +168,25 @@ object LayoutQueries {
     (url, lines.length, paras.length)
   }
 
+  /** F3: normalised-coordinate geometry projection — each block's
+    * pseudo-geometry normalised over a (4000, 8000) source space, then
+    * projected onto a 960×1280 page with rint (banker's) rounding and
+    * symmetric padding 3, the reference's detector-output projection
+    * (doctr.py:16-36 / doctr_utils.py:7-28). The 0.24/0.16 scale factors
+    * admit NO exact .5 rounding ties (96x=100k+50 has no integer
+    * solution), so the oracle's plain round() agrees with rint on every
+    * representable input. */
+  def geometryProjection(url: String, html: Array[Byte])
+      : Seq[(String, Int, Int, Int, Int, Int)] = {
+    val ex = Extractor.extract(url, html)
+    ex.blocks.iterator.zipWithIndex.map { case (b, i) =>
+      val norm = (b.x / 4000.0, b.y / 8000.0,
+        (b.x + b.w) / 4000.0, (b.y + b.h) / 8000.0)
+      val bb = Filters.geometryProjection(norm, pageW = 960, pageH = 1280, padding = 3)
+      (url, i, bb.x, bb.y, bb.w, bb.h)
+    }.toSeq
+  }
+
   /** Projection-profile line segmentation over the pseudo-page ink
     * density (block boxes rasterised onto the y axis). */
   def projectionLines(url: String, html: Array[Byte]): (String, Int, Long) = {

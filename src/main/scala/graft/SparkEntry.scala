@@ -137,6 +137,14 @@ object SparkEntry {
         .toDF("url", "idx", "x1", "y1", "x2", "y2")
     }),
 
+    // F3: normalized-coordinate geometry projection per block
+    "l11_geometry_projection" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .flatMap { case (u, h) => LayoutQueries.geometryProjection(u, h) }
+        .toDF("url", "idx", "gx", "gy", "gw", "gh")
+    }),
+
     // Hi-SAM line->paragraph grouping over projection-profile lines
     "l12_hisam_groups" -> ((s, d) => {
       import s.implicits._
@@ -353,6 +361,18 @@ object SparkEntry {
       "l10_postprocess" ->
         (s"""SELECT url, idx, x - 6 AS x1, y - 6 AS y1,
                x + w + 5 AS x2, y + h + 5 AS y2
+             FROM $spansG"""),
+      // F3 projection replayed in SQL: rint == round here because the
+      // 0.24/0.16 scale factors admit no exact .5 ties (see
+      // LayoutQueries.geometryProjection); fromXyxy(w) = x2p - x1p
+      "l11_geometry_projection" ->
+        (s"""SELECT url, idx,
+               CAST(round((x / 4000.0) * 960) - 3 AS INT) AS gx,
+               CAST(round((y / 8000.0) * 1280) - 3 AS INT) AS gy,
+               CAST((round(((x + w) / 4000.0) * 960) + 3)
+                    - (round((x / 4000.0) * 960) - 3) AS INT) AS gw,
+               CAST((round(((y + h) / 8000.0) * 1280) + 3)
+                    - (round((y / 8000.0) * 1280) - 3) AS INT) AS gh
              FROM $spansG"""),
       // one projection line per block; adjacent full-width lines always
       // clear the 0.5 affinity threshold -> one paragraph per page
