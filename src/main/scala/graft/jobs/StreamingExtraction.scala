@@ -57,6 +57,19 @@ object StreamingExtraction {
       }
   }
 
+  /** Streaming exact dedup: first-seen wins per content hash, with the
+    * state store bounded by the event-time watermark — the streaming
+    * analogue of the batch `t3_dedup_exact` groupBy (a crawl ingest
+    * pipeline's dedup stage). `dropDuplicatesWithinWatermark` expires
+    * per-key state once the key's event time passes the watermark, so
+    * at 10^12 docs the state holds only the watermark window, not the
+    * corpus. */
+  def dedupedPages(pages: DataFrame, watermark: String = "2 hours"): DataFrame =
+    pages
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("warc_ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   def extractedStream(spark: SparkSession, pagesDir: String,
                       pagesSchemaFrom: String): Dataset[Extracted] = {
     import spark.implicits._

@@ -94,4 +94,36 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
 
     winQ.stop(); hostQ.stop()
   }
+
+  test("streaming exact dedup: first-seen wins, duplicates dropped across micro-batches") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val source = MemoryStream[graft.pages.PageRow]
+    val q = StreamingExtraction.dedupedPages(source.toDF(), watermark = "1 hour")
+      .select("url", "content_hash")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+
+    // batch 1: 30 distinct pages
+    val batch1 = graft.pages.PageGen.pages(42L, 0, 30).toSeq
+    source.addData(batch1: _*)
+    q.processAllAvailable()
+    assert(spark.sql("SELECT count(*) FROM dedup_out").head.getLong(0) == 30)
+
+    // batch 2: 10 new pages + 10 exact duplicates of batch-1 content
+    // (same (seed, idx) -> byte-identical text -> same content hash);
+    // only the new pages may come through
+    val dups = graft.pages.PageGen.pages(42L, 5, 15)
+      .map(p => p.copy(url = p.url + "?mirror=1")).toSeq
+    val batch2 = graft.pages.PageGen.pages(42L, 30, 40).toSeq
+    source.addData(batch2 ++ dups: _*)
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT url FROM dedup_out").as[String].collect()
+    assert(rows.length == 40, s"40 distinct contents expected, got ${rows.length}")
+    assert(!rows.exists(_.contains("mirror=1")), "mirrored duplicates must be dropped")
+    q.stop()
+  }
 }
