@@ -260,6 +260,11 @@ object SparkEntry {
           coalesce(sum(col("m")), lit(0L)).as("hits"))
     }),
 
+    // SRP (hyperplane) LSH near-dup — the IVF-free embedding dedup scale
+    // path; the signature, banding and surviving pairs are all replayed
+    // by the oracle.
+    "e6_srp_dups" -> ((s, d) => Ann.srpDupPairs(emb(s, d), threshold = 0.42)),
+
     // ---- relational shell (TPC-H-ish) -----------------------------------
     "q1_agg" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
@@ -630,6 +635,33 @@ object SparkEntry {
                CAST(coalesce(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 END), 0) AS BIGINT) AS hits
              FROM exact e LEFT JOIN ivf i
                ON e.vec_id = i.vec_id AND e.neighbor_id = i.neighbor_id"""),
+      "e6_srp_dups" -> {
+        // SRP signature replay: same md5-even Rademacher hyperplanes, same
+        // floor(e_j*1e6) integer quantisation (sign sums exact in both
+        // engines regardless of summation order), same 4x4-bit banding.
+        val sums = (0 until 16).map(i =>
+          s"sum(CASE WHEN ${h60(s"'p$i:' || CAST(j AS VARCHAR)")} % 2 = 0 " +
+            s"THEN q ELSE -q END) AS s$i").mkString(", ")
+        def bucket(b: Int) = (0 until 4)
+          .map(k => s"CAST(CASE WHEN s${b * 4 + k} >= 0 THEN 1 ELSE 0 END AS VARCHAR)")
+          .mkString(" || ',' || ")
+        val bandedSelects = (0 until 4)
+          .map(b => s"SELECT vec_id, $b AS band, md5(${bucket(b)}) AS bucket FROM sig")
+          .mkString(" UNION ALL ")
+        s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+            ex AS (SELECT vec_id, unnest(range(len(e))) AS j,
+                          CAST(floor(unnest(e) * 1000000.0) AS BIGINT) AS q FROM v),
+            sig AS (SELECT vec_id, $sums FROM ex GROUP BY vec_id),
+            banded AS ($bandedSelects),
+            cand AS (SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+                     FROM banded l JOIN banded r
+                       ON l.band = r.band AND l.bucket = r.bucket
+                      AND l.vec_id < r.vec_id)
+            SELECT a, b FROM cand
+            JOIN v va ON va.vec_id = cand.a
+            JOIN v vb ON vb.vec_id = cand.b
+            WHERE list_cosine_similarity(va.e, vb.e) >= 0.42"""
+      },
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
          "count(*) AS count_order FROM lineitem GROUP BY 1, 2"),

@@ -194,6 +194,75 @@ object Ann {
       .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("rank"))
   }
 
+  /** Signed-random-projection (hyperplane) LSH signature: bit i of the
+    * signature is the SIGN of the projection of the vector onto the i-th
+    * pseudo-random Rademacher hyperplane, whose ±1 entries come from the
+    * shared md5-60bit convention (`s(i,j) = +1` iff `md5("p<i>:<j>")` is
+    * even) — so the whole index is oracle-replayable in SQL. Collision
+    * probability of one bit for vectors at angle θ is `1 − θ/π`
+    * (Charikar's SimHash-for-cosine bound), which is what makes banded
+    * bucketing below sound.
+    *
+    * Cross-engine determinism: the projections are computed over
+    * `floor(eⱼ·10⁶)` INTEGER components, so the per-bit sums are exact
+    * and independent of summation order — a raw double SUM's last-ulp
+    * rounding differs between engines/partitionings and could flip the
+    * sign of a near-orthogonal projection. Quantisation at 10⁻⁶ is far
+    * below any meaningful angular resolution.
+    *
+    * Plan shape: posexplode (n·d rows) → `bits` SUM(CASE) aggregates,
+    * fully codegen'd and map-side combined — one shuffle of n·bits longs,
+    * no broadcast, no centroid pass. This is the IVF-free near-dup scale
+    * path: at 10⁹ vectors it needs no index build at all. */
+  def srpSignature(emb: DataFrame, bits: Int = 16): DataFrame = {
+    val ex = emb
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("j", "x")))
+      .withColumn("q", floor(col("x") * lit(1e6)))
+    val bitCols: Seq[Column] = (0 until bits).map { i =>
+      sum(when(pmod(graft.text.TextOps.md5Hash60(
+          concat(lit(s"p$i:"), col("j").cast("string"))), lit(2)) === 0,
+        col("q")).otherwise(-col("q"))).as(s"s$i")
+    }
+    ex.groupBy("vec_id").agg(bitCols.head, bitCols.tail: _*)
+  }
+
+  /** Embedding near-duplicate pairs via SRP-LSH banding: the `bits`-bit
+    * signature is cut into `bits/bandSize` bands; vectors sharing any
+    * band bucket become candidates (equi-join on (band, md5-bucket) —
+    * NEVER all pairs); each candidate pair is then scored exactly once
+    * and kept at `cosine ≥ threshold`. Same banding idiom as
+    * [[graft.text.TextOps.minhashPairs]].
+    *
+    * Complements [[cosineDupPairs]] (IVF home cells): SRP needs no
+    * centroid broadcast or assignment pass and its candidate volume is
+    * tunable purely by (bits, bandSize) — `P(candidate) =
+    * 1 − (1 − (1−θ/π)^bandSize)^nBands`. */
+  def srpDupPairs(emb: DataFrame, threshold: Double, bits: Int = 16,
+                  bandSize: Int = 4): DataFrame = {
+    val sig = srpSignature(emb, bits)
+    val nBands = bits / bandSize
+    val banded = (0 until nBands).map { b =>
+      val slots = (0 until bandSize)
+        .map(k => (col(s"s${b * bandSize + k}") >= 0).cast("int"))
+      sig.select(col("vec_id"), lit(b).as("band"),
+        md5(concat_ws(",", slots.map(_.cast("string")): _*)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val cand = banded.as("l")
+      .join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.vec_id") < col("r.vec_id"))
+      .select(col("l.vec_id").as("a"), col("r.vec_id").as("b"))
+      .distinct()
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val va = v.select(col("vec_id").as("a"), col("e").as("ea"), col("norm").as("na"))
+    val vb = v.select(col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nb"))
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("a"), col("b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the IVF home cells (each surviving pair scored once, a < b). */
   def cosineDupPairs(emb: DataFrame, threshold: Double, cells: Int = 0): DataFrame = {

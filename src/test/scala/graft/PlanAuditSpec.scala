@@ -55,6 +55,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"wide simhash config must keep the banded equi-join shape:\n$wide")
   }
 
+  test("e6 SRP pairs: banded equi-join, no cartesian, map-side-combined signature") {
+    val p = plan("e6_srp_dups")
+    assertNoCartesian(p, "e6")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"SRP band-bucket join must be an equi-join:\n$p")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"),
+      "SRP signature aggregation must be map-side combinable")
+  }
+
   test("e2 IVF: centroid side broadcast (bounded), one assignment, no extra count action") {
     val p = plan("e2_knn_ivf")
     assert(p.contains("BroadcastExchange"),

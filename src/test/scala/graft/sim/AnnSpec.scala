@@ -205,6 +205,46 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(minGap > 1e-6, f"a pair sits within $minGap%.2e of the e4 threshold")
   }
 
+  test("SRP near-dup pairs match an independent in-memory LSH oracle exactly") {
+    // Re-derive the whole SRP pipeline in plain Scala (MessageDigest md5,
+    // integer-quantised projections, 4x4-bit banding) and require SET
+    // EQUALITY with the Spark result — signature, banding and scoring all
+    // pinned, same role as the DuckDB replay at the driver.
+    val bits = 16; val bandSize = 4; val threshold = 0.42
+    val vecs = loadVecs()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(s: String): Long = {
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val signs = Array.tabulate(bits, vecs.values.head.length) { (i, j) =>
+      if (h60(s"p$i:$j") % 2 == 0) 1L else -1L
+    }
+    val sig = vecs.map { case (id, e) =>
+      id -> Array.tabulate(bits) { i =>
+        var s = 0L; var j = 0
+        while (j < e.length) { s += signs(i)(j) * math.floor(e(j) * 1e6).toLong; j += 1 }
+        s >= 0
+      }
+    }
+    def buckets(b: Array[Boolean]): Seq[String] =
+      (0 until bits / bandSize).map(k =>
+        b.slice(k * bandSize, (k + 1) * bandSize).map(x => if (x) 1 else 0).mkString(","))
+    val ids = vecs.keys.toArray.sorted
+    val expected = (for {
+      ai <- ids.indices.iterator; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      if buckets(sig(a)).zip(buckets(sig(b))).exists { case (x, y) => x == y }
+      if cosine(vecs(a), vecs(b)) >= threshold
+    } yield (a, b)).toSet
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val got = Ann.srpDupPairs(emb, threshold, bits, bandSize).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected,
+      s"SRP pairs diverge: spark-only=${got -- expected}, oracle-only=${expected -- got}")
+    info(s"${got.size} SRP near-dup pairs, set-equal to the in-memory LSH oracle")
+  }
+
   test("near-duplicate pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Ann.cosineDupPairs(emb, threshold = 0.95).collect()
