@@ -9,6 +9,15 @@ import graft.extract.{Extracted, Extractor}
 final case class HostState(docs: Long, bytes: Long)
 final case class HostProgress(host: String, docs: Long, bytes: Long)
 
+/** One exploded (band, bucket) arrival feeding the streaming LSH state. */
+final case class BandedDoc(key: String, url: String, band: Int,
+                           warc_ts: java.sql.Timestamp)
+/** Keyed state for one LSH bucket: its first-seen representative doc. */
+final case class BucketState(firstUrl: String)
+/** A streaming near-dup candidate: `url` collided with the bucket's
+  * first-seen `firstUrl` in `band`. */
+final case class LshCandidate(firstUrl: String, url: String, band: Int)
+
 /** Structured-Streaming surface for the same per-page transform.
   *
   * The reference is strictly batch (SURVEY.md §2.8) and so is the north
@@ -69,6 +78,61 @@ object StreamingExtraction {
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
+
+  /** Streaming LSH near-dup candidates — the streaming analogue of the
+    * batch banded MinHash join (`t11`): each incoming page's 8-slot
+    * MinHash signature ([[graft.text.Minhash]], the same convention as
+    * the batch/oracle path) is cut into 2 bands; per (band, bucket) key
+    * the state remembers the FIRST document that hashed there and every
+    * later arrival emits a candidate pair against that representative.
+    *
+    * Scale shape: the signature is a stateless per-row projection (no
+    * grouped-min aggregation before the keyed state — one stateful
+    * operator total), the state holds ONE url per live bucket, and
+    * event-time timeout removes a bucket once the watermark passes its
+    * newest arrival + the delay — so at crawl scale the store holds the
+    * active window's buckets, not the corpus. Emitting the (first, later)
+    * STAR rather than the full clique is the dedup-correct contract: a
+    * document is a near-dup candidate iff it collides with ≥1 earlier
+    * document, and each flagged doc carries an earlier witness. */
+  def lshCandidatePairs(spark: SparkSession, pages: DataFrame,
+                        watermark: String = "2 hours",
+                        nHashes: Int = 8, bandSize: Int = 4): Dataset[LshCandidate] = {
+    import spark.implicits._
+    import graft.text.Minhash
+    val nBands = nHashes / bandSize
+    pages
+      .select(col("url"), col("text"), col("warc_ts"))
+      .as[(String, String, java.sql.Timestamp)]
+      .flatMap { case (url, text, ts) =>
+        val sig = Minhash.signature(text, nHashes)
+        (0 until nBands).map { b =>
+          BandedDoc(s"$b|${Minhash.bandBucket(sig, b, bandSize)}", url, b, ts)
+        }
+      }
+      .withWatermark("warc_ts", watermark)
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[BucketState, LshCandidate](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (_, rows, state) =>
+        if (state.hasTimedOut) {
+          state.remove()
+          Iterator.empty
+        } else {
+          // deterministic within-batch arrival order
+          val arrivals = rows.toVector.sortBy(r => (r.warc_ts.getTime, r.url))
+          val laters = state.getOption match {
+            case Some(_) => arrivals
+            case None =>
+              state.update(BucketState(arrivals.head.url))
+              arrivals.tail
+          }
+          state.setTimeoutTimestamp(arrivals.map(_.warc_ts.getTime).max, watermark)
+          val first = state.get.firstUrl
+          laters.iterator.map(r => LshCandidate(first, r.url, r.band))
+        }
+      }
+  }
 
   def extractedStream(spark: SparkSession, pagesDir: String,
                       pagesSchemaFrom: String): Dataset[Extracted] = {

@@ -95,6 +95,62 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     winQ.stop(); hostQ.stop()
   }
 
+  test("streaming LSH candidates: banded collisions against first-seen reps, replay-exact") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val source = MemoryStream[graft.pages.PageRow]
+    val q = StreamingExtraction.lshCandidatePairs(spark, source.toDF(), watermark = "1 hour")
+      .writeStream.format("memory").queryName("lsh_out")
+      .outputMode("append").start()
+
+    val batch1 = graft.pages.PageGen.pages(42L, 0, 25).toSeq
+    // batch 2: 8 new pages + 5 exact-content mirrors of batch-1 pages
+    // (identical text -> identical signature -> collision in EVERY band)
+    val mirrors = graft.pages.PageGen.pages(42L, 3, 8)
+      .map(p => p.copy(url = p.url + "?mirror=1")).toSeq
+    val batch2 = graft.pages.PageGen.pages(42L, 25, 33).toSeq ++ mirrors
+
+    source.addData(batch1: _*); q.processAllAvailable()
+    source.addData(batch2: _*); q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql("SELECT firstUrl, url, band FROM lsh_out")
+      .as[(String, String, Int)].collect().toSet
+
+    // in-memory replay of the operator's contract: per (band, bucket) key
+    // the first (ts, url)-ordered arrival is the representative; every
+    // later arrival emits (rep, url, band)
+    val state = scala.collection.mutable.Map.empty[String, String]
+    val expected = scala.collection.mutable.Set.empty[(String, String, Int)]
+    for (batch <- Seq(batch1, batch2)) {
+      val arrivals = batch.flatMap { p =>
+        val sig = graft.text.Minhash.signature(p.text, 8)
+        (0 until 2).map(b =>
+          (s"$b|${graft.text.Minhash.bandBucket(sig, b, 4)}", p.url, b, p.warc_ts.getTime))
+      }
+      arrivals.groupBy(_._1).foreach { case (key, as) =>
+        val sorted = as.sortBy(a => (a._4, a._2))
+        val laters = state.get(key) match {
+          case Some(_) => sorted
+          case None => state(key) = sorted.head._2; sorted.tail
+        }
+        laters.foreach(a => expected += ((state(key), a._2, a._3)))
+      }
+    }
+    assert(got == expected,
+      s"streaming-only=${got -- expected}, replay-only=${expected -- got}")
+    // the 5 identical-content mirrors must be flagged in BOTH bands
+    mirrors.foreach { m =>
+      assert(got.exists(c => c._2 == m.url && c._3 == 0) &&
+             got.exists(c => c._2 == m.url && c._3 == 1),
+        s"mirror ${m.url} not flagged in both bands")
+    }
+    info(s"${got.size} streaming candidates, replay-exact; all 5 mirrors flagged")
+  }
+
   test("streaming exact dedup: first-seen wins, duplicates dropped across micro-batches") {
     val s = spark
     import s.implicits._

@@ -72,6 +72,29 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.nonEmpty)
   }
 
+  test("scalar Minhash (streaming path) is slot-identical to the relational minhash") {
+    // The streaming LSH operator computes signatures per row via
+    // graft.text.Minhash; pin its convention (tokens, 3-shingles, "i:"
+    // seeding, 60-bit md5 hash, band buckets) to the batch/oracle path
+    // on real corpus texts.
+    val real = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").limit(50)
+    val batchSig = TextOps.minhash(real).collect()
+      .map(r => r.getLong(0) -> (1 to 8).map(r.getLong).toSeq).toMap
+    val texts = real.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    texts.foreach { case (id, text) =>
+      val scalar = Minhash.signature(text, 8).toSeq
+      assert(scalar == batchSig(id), s"doc $id signatures diverge")
+    }
+    // band buckets too: md5 of the comma-joined slots
+    val batchBuckets = TextOps.minhashPairs(real) // forces bucket expr path
+    texts.keys.take(3).foreach { id =>
+      val sig = Minhash.signature(texts(id), 8)
+      assert(Minhash.bandBucket(sig, 0, 4).matches("[0-9a-f]{32}"))
+    }
+    assert(batchBuckets.columns.toSeq == Seq("a", "b", "band"))
+  }
+
   test("simhash: identical texts collide, disjoint vocabularies differ") {
     val d = docs(1L -> "spark catalyst tungsten codegen shuffle",
       2L -> "spark catalyst tungsten codegen shuffle",
