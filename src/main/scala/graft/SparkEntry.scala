@@ -265,6 +265,14 @@ object SparkEntry {
     // by the oracle.
     "e6_srp_dups" -> ((s, d) => Ann.srpDupPairs(emb(s, d), threshold = 0.42)),
 
+    // Hierarchical (coarse->fine) IVF — the past-the-cap scale path,
+    // hash-checked like the flat index: the two-level assignment and the
+    // per-cell knn are replayed by the oracle. Parameters sized so the
+    // two-level structure is real at test scale (8 coarse cells, ~n/64
+    // fine centroids spread over them).
+    "e7_knn_ivf_hier" -> ((s, d) => Ann.ivfKnnHierarchical(emb(s, d), k = 5,
+      coarseCells = 8, finePerCoarse = 8, nprobeCoarse = 2, nprobe = 4)),
+
     // ---- relational shell (TPC-H-ish) -----------------------------------
     "q1_agg" -> ((s, d) =>
       s.read.parquet(s"$d/lineitem.parquet")
@@ -662,6 +670,46 @@ object SparkEntry {
             JOIN v vb ON vb.vec_id = cand.b
             WHERE list_cosine_similarity(va.e, vb.e) >= 0.42"""
       },
+      "e7_knn_ivf_hier" ->
+        // two-level IVF replay: md5-stride coarse seeds ("c:"), each
+        // vector's 2 nearest coarse cells, md5-stride fine seeds ("f:")
+        // carrying their HOME (rnc=1) coarse cell, fine assignment only
+        // within probed coarse cells, then the same per-cell knn tail as
+        // e2. Params mirror the Spark call: 8 coarse, 8 fine/coarse,
+        // nprobeCoarse=2, nprobe=4, k=5.
+        (s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+             par AS (SELECT greatest(1, count(*) // 8) AS cstride,
+                            greatest(1, count(*) // 64) AS fstride FROM v),
+             coarse AS (SELECT vec_id AS ccell, e AS cc FROM v, par
+                        WHERE ${h60("'c:' || CAST(vec_id AS VARCHAR)")} % cstride = 0),
+             ca AS (SELECT vec_id, e, ccell, rnc FROM (
+                      SELECT v.vec_id, v.e, coarse.ccell,
+                             row_number() OVER (PARTITION BY v.vec_id
+                               ORDER BY list_cosine_similarity(v.e, coarse.cc) DESC,
+                                        coarse.ccell ASC) AS rnc
+                      FROM v CROSS JOIN coarse)
+                    WHERE rnc <= 2),
+             fine AS (SELECT ca.ccell AS fccell, ca.vec_id AS fcell, ca.e AS fc
+                      FROM ca, par
+                      WHERE ca.rnc = 1
+                        AND ${h60("'f:' || CAST(ca.vec_id AS VARCHAR)")} % fstride = 0),
+             assign AS (SELECT vec_id, cell, rn, e FROM (
+                          SELECT ca.vec_id, fine.fcell AS cell, ca.e,
+                                 row_number() OVER (PARTITION BY ca.vec_id
+                                   ORDER BY list_cosine_similarity(ca.e, fine.fc) DESC,
+                                            fine.fcell ASC) AS rn
+                          FROM ca JOIN fine ON ca.ccell = fine.fccell)
+                        WHERE rn <= 4),
+             probes AS (SELECT * FROM assign),
+             home AS (SELECT * FROM assign WHERE rn = 1),
+             sims AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                             list_cosine_similarity(l.e, r.e) AS sim
+                      FROM probes l JOIN home r
+                        ON l.cell = r.cell AND l.vec_id <> r.vec_id)
+             SELECT a AS vec_id, b AS neighbor_id, rank FROM (
+               SELECT a, b, row_number() OVER (PARTITION BY a
+                 ORDER BY sim DESC, b ASC) AS rank FROM sims)
+             WHERE rank <= 5"""),
       "q1_agg" ->
         ("SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, " +
          "count(*) AS count_order FROM lineitem GROUP BY 1, 2"),
