@@ -237,6 +237,8 @@ object SparkEntry {
     "t14_simhash_pairs" -> ((s, d) => TextOps.simhashPairs(docs(s, d))),
     "t13_regex_tokens" -> ((s, d) => TextOps.regexTokens(docs(s, d))),
     "t15_winnow" -> ((s, d) => TextOps.winnow(docs(s, d))),
+    "t16_repetition" -> ((s, d) => TextOps.repetitionSignals(docs(s, d))),
+    "t17_crossdup" -> ((s, d) => TextOps.crossDupCoverage(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- similarity search (embeddings table) ---------------------------
@@ -316,6 +318,13 @@ object SparkEntry {
              for i in generate_series(1, greatest(length(w)-2, 1))]) AS s
           FROM (SELECT doc_id, $tok AS w FROM documents) t)"""
     def h60(e: String) = s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
+    // word n-grams mirroring TextOps.grams (short texts degrade to one
+    // truncated gram)
+    def gramsSql(n: Int) =
+      s"""(SELECT doc_id, unnest(
+            [array_to_string(w[i:i+${n - 1}], ' ')
+             for i in generate_series(1, greatest(length(w)-${n - 1}, 1))]) AS g
+          FROM (SELECT doc_id, $tok AS w FROM documents) t)"""
     val minhashSql =
       (s"SELECT doc_id, " +
        (0 until 8).map(i => s"min(${h60(s"'$i:' || s")}) AS h$i").mkString(", ") +
@@ -533,6 +542,34 @@ object SparkEntry {
                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
               FROM h)
              SELECT DISTINCT doc_id, fp FROM wm"""),
+      "t16_repetition" -> {
+        def cnts(n: Int) =
+          s"SELECT doc_id, g, count(*) AS cnt FROM ${gramsSql(n)} GROUP BY 1, 2"
+        def top(n: Int, pfx: String) =
+          s"""SELECT doc_id, cnt AS ${pfx}_cnt, cnt * length(g) AS ${pfx}_chars
+              FROM (SELECT doc_id, g, cnt,
+                      row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, g ASC) AS rn
+                    FROM (${cnts(n)}))
+              WHERE rn = 1"""
+        s"""WITH t2 AS (${top(2, "top2")}), t3 AS (${top(3, "top3")}),
+               five AS (
+                 SELECT doc_id,
+                   CAST(sum(CASE WHEN cnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup5_distinct,
+                   CAST(sum(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup5_occurrences,
+                   CAST(sum(cnt) AS BIGINT) AS n5_grams
+                 FROM (${cnts(5)}) GROUP BY doc_id)
+            SELECT t2.doc_id, top2_cnt, top2_chars, top3_cnt, top3_chars,
+                   dup5_distinct, dup5_occurrences, n5_grams
+            FROM t2 JOIN t3 USING (doc_id) JOIN five USING (doc_id)"""
+      },
+      "t17_crossdup" ->
+        (s"""WITH pos AS (SELECT * FROM ${gramsSql(8)}),
+                df AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+             SELECT doc_id,
+               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
+               count(*) AS n_positions
+             FROM pos JOIN df USING (g) GROUP BY doc_id"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

@@ -237,6 +237,72 @@ object TextOps {
       size(tokens(col("text"))).as("n_tokens"))
   }
 
+  /** Word n-grams of the text column (positions 1..len-n+1; short texts
+    * degrade to one truncated gram, matching `shingles`). */
+  private def grams(c: Column, n: Int): Column = {
+    val w = tokens(c)
+    transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+  }
+
+  /** Gopher-style repetition signals, integer-exact:
+    *   - top{2,3}_cnt / top{2,3}_chars: occurrence count of the most
+    *     frequent word 2-/3-gram (ties broken by lexicographically
+    *     smallest gram) and the characters it covers (count × gram
+    *     length, separators included) — the "fraction of characters in
+    *     the most common n-gram" rule with the division left to the
+    *     consumer so the oracle hash-compares exactly;
+    *   - dup5_distinct / dup5_occurrences / n5_grams: distinct word
+    *     5-grams occurring ≥2 times within the doc, their total
+    *     occurrences, and the total 5-gram positions — the "fraction of
+    *     characters in duplicated n-grams" family.
+    *
+    * Plan shape: explode → groupBy(doc_id, gram) count (map-side
+    * combined) → per-doc min(struct(-cnt, gram)) — a second partial
+    * aggregation, no window — then doc_id-keyed joins of three
+    * already-aggregated (one row per doc) legs. */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    def gramCounts(n: Int) =
+      docs.select(col("doc_id"), explode(grams(col("text"), n)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+    def top(n: Int, pfx: String) =
+      gramCounts(n)
+        .groupBy("doc_id")
+        .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
+        .select(col("doc_id"),
+          (-col("m.nc")).as(s"${pfx}_cnt"),
+          (-col("m.nc") * length(col("m.g"))).as(s"${pfx}_chars"))
+    val five = gramCounts(5)
+      .groupBy("doc_id").agg(
+        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup5_distinct"),
+        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup5_occurrences"),
+        sum(col("cnt")).as("n5_grams"))
+    top(2, "top2").join(top(3, "top3"), "doc_id").join(five, "doc_id")
+  }
+
+  /** Cross-document duplicated-gram coverage — the fixed-length-gram
+    * approximation of substring-level corpus dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better"): a
+    * position is duplicated when its word `n`-gram occurs in ≥2 distinct
+    * documents. Emits per doc the duplicated position count and the
+    * total positions; the ratio (left to the consumer) is the fraction
+    * of the document covered by cross-corpus repeated text.
+    *
+    * Plan shape: explode → per-(gram, doc) dedup inside a single
+    * aggregation (count(DISTINCT doc_id) with partial aggregation) →
+    * shuffle join back on the gram key (never all-pairs) → per-doc
+    * count. The gram-key join is the same bounded-fanout shape as the
+    * banded LSH joins: each position joins exactly one df row. */
+  def crossDupCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
+    val pos = docs.select(col("doc_id"), explode(grams(col("text"), n)).as("g"))
+    val df = pos.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
+    pos.join(df, "g")
+      .groupBy("doc_id").agg(
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_positions"),
+        count(lit(1)).as("n_positions"))
+  }
+
   /** BPE-ish regex tokenization: letter runs, digit runs, and single
     * non-alphanumeric marks — the GPT-2 pre-tokenizer shape reduced to a
     * cross-engine-safe ASCII pattern. Counts per class, integer-exact. */

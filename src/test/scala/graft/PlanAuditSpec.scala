@@ -102,6 +102,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fine codebook must attach via an equi-join on the coarse cell:\n$p")
   }
 
+  test("t16 repetition: partial aggregation, no window, no cartesian") {
+    val p = plan("t16_repetition")
+    assertNoCartesian(p, "t16")
+    // top-gram selection is min(struct(-cnt, gram)) — a second partial
+    // aggregation, not a per-doc window sort
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"top-gram must come from a partial-aggregatable min, not a window:\n$p")
+    assert(p.contains("partial_min") || p.contains("HashAggregate"),
+      "gram counting and top-gram selection must be map-side combinable")
+  }
+
+  test("t17 cross-doc coverage: df attaches via gram equi-join, no cartesian") {
+    val p = plan("t17_crossdup")
+    assertNoCartesian(p, "t17")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"df table must attach via an equi-join on the gram key:\n$p")
+  }
+
   test("x3 resume anti-join prunes both scans to the url column") {
     val p = plan("x3_resume_antijoin")
     assert(p.contains("LeftAnti"), s"resume must be a left-anti join:\n$p")

@@ -152,4 +152,39 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped.toSeq.contains((1L, 2L)), "true near-dup must survive the cap")
     assert(!capped.exists { case (a, b) => (a, b) == (3L, 4L) })
   }
+
+  test("repetition signals: top-gram coverage and duplicated 5-grams, hand-checked") {
+    val d = docs(
+      // 2-grams: "a b"×2, "b a"×2, "a c"×1 → tie broken to "a b" (lex min);
+      // 3-grams: "a b a"×2 top; 5-grams all distinct
+      1L -> "a b a b a c",
+      // 5-grams: "x y x y x"×2 and "y x y x y"×2 → 2 distinct dups, 4 occurrences
+      2L -> "x y x y x y x y",
+      // single token degrades to one truncated gram at every n
+      3L -> "solo")
+    val r = TextOps.repetitionSignals(d).collect()
+      .map(x => x.getLong(0) -> x.toSeq.tail.map(_.asInstanceOf[Long])).toMap
+    assert(r(1L) == Seq(2L, 6L, 2L, 10L, 0L, 0L, 2L))
+    assert(r(2L) == Seq(4L, 12L, 3L, 15L, 2L, 4L, 4L))
+    assert(r(3L) == Seq(1L, 4L, 1L, 4L, 0L, 0L, 1L))
+  }
+
+  test("cross-doc duplicated-gram coverage counts positions with corpus df >= 2") {
+    val d = docs(
+      1L -> "common phrase here unique one",
+      2L -> "common phrase here different tail two",
+      3L -> "nothing shared at all whatsoever")
+    // only "common phrase here" occurs in >= 2 docs
+    val r = TextOps.crossDupCoverage(d, n = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).sortBy(_._1)
+    assert(r.toSeq == Seq((1L, 1L, 3L), (2L, 1L, 4L), (3L, 0L, 3L)))
+  }
+
+  test("cross-doc coverage: within-doc repeats do not count as cross-doc dups") {
+    // the 3-gram "p p p" repeats inside doc 1 but appears in no other doc
+    val d = docs(1L -> "p p p p p", 2L -> "q r s t u")
+    val r = TextOps.crossDupCoverage(d, n = 3).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r == Map(1L -> 0L, 2L -> 0L))
+  }
 }
