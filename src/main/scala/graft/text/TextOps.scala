@@ -303,6 +303,58 @@ object TextOps {
         count(lit(1)).as("n_positions"))
   }
 
+  /** Quality-tier assignment — the tier-extraction head of the pipeline:
+    * every document lands in exactly one of four training-data tiers
+    * (Gopher/FineWeb-style rules, reduced to integer-exact comparisons so
+    * the whole assignment ships with a DuckDB oracle):
+    *
+    *   0 reject — under 20 tokens, an exact-duplicate loser (not the
+    *     min-doc_id keeper of its md5 group), or ≥50% of its 8-gram
+    *     positions duplicated across the corpus (Lee et al. coverage);
+    *   1 low    — distinct-token ratio < 0.4, zero stopwords (word salad /
+    *     non-prose), or ≥20% cross-corpus duplicated positions;
+    *   3 high   — stopword ratio ≥ 5% AND distinct ratio ≥ 0.5 AND
+    *     ≥ 40 tokens (prose-shaped, lexically diverse, substantial);
+    *   2 mid    — everything else.
+    *
+    * `reasons` is the bitmask of fired rules (bit0 short, bit1 dup-loser,
+    * bit2 cov≥50%, bit3 low-distinct, bit4 no-stopwords, bit5 cov≥20%,
+    * bit6 high-conjunction) so the oracle checks every rule, not just the
+    * final bucket.
+    *
+    * Plan shape: one projection pass for the per-doc signals, a
+    * groupBy(md5) + equi-join back for the exact-dup keeper (t3's shape),
+    * and the gram-keyed join of [[crossDupCoverage]] — all partial-
+    * aggregated equi-joins, nothing quadratic. */
+  def tierAssign(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val wl = tokens(lower(col("text")))
+    val base = docs.select(col("doc_id"), md5(col("text")).as("h"),
+      size(w).as("n_tokens"),
+      size(array_distinct(w)).as("n_distinct"),
+      size(filter(wl, t => array_contains(array(stopwords.map(lit): _*), t)))
+        .as("stop_tokens"))
+    val keep = base.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
+    val cov = crossDupCoverage(docs)
+    val joined = base.join(keep, "h").join(cov, "doc_id")
+    val short = col("n_tokens") < 20
+    val loser = col("doc_id") =!= col("keep_id")
+    val cov50 = col("dup_positions") * 2 >= col("n_positions")
+    val lowDistinct = col("n_distinct") * 10 < col("n_tokens") * 4
+    val noStops = col("stop_tokens") === 0
+    val cov20 = col("dup_positions") * 5 >= col("n_positions")
+    val high = col("stop_tokens") * 20 >= col("n_tokens") &&
+      col("n_distinct") * 2 >= col("n_tokens") && col("n_tokens") >= 40
+    def bit(c: Column, b: Int) = when(c, lit(1L << b)).otherwise(lit(0L))
+    joined.select(col("doc_id"),
+      when(short || loser || cov50, 0)
+        .when(lowDistinct || noStops || cov20, 1)
+        .when(high, 3)
+        .otherwise(2).as("tier"),
+      (bit(short, 0) + bit(loser, 1) + bit(cov50, 2) + bit(lowDistinct, 3) +
+        bit(noStops, 4) + bit(cov20, 5) + bit(high, 6)).as("reasons"))
+  }
+
   /** BPE-ish regex tokenization: letter runs, digit runs, and single
     * non-alphanumeric marks — the GPT-2 pre-tokenizer shape reduced to a
     * cross-engine-safe ASCII pattern. Counts per class, integer-exact. */

@@ -120,6 +120,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"df table must attach via an equi-join on the gram key:\n$p")
   }
 
+  test("t18 tier: equi-joins only (md5 + gram keys), no window, no cartesian") {
+    val p = plan("t18_tier")
+    assertNoCartesian(p, "t18")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"keeper/coverage tables must attach via equi-joins:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"the exact-dup keeper must come from groupBy(md5)+join, not a window:\n$p")
+  }
+
+  test("d1 host stats: single partial-aggregated groupBy, no join") {
+    val p = plan("d1_host_stats")
+    assertNoCartesian(p, "d1")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"host rollup must partial-aggregate (hot hosts combine map-side):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"a pure rollup must not plan a join:\n$p")
+  }
+
+  test("e8 IVF-SQ: bounded broadcasts, cell equi-join ranks quantized dots") {
+    val p = plan("e8_sq_knn")
+    assertNoCartesian(p, "e8")
+    assert(p.contains("BroadcastExchange"),
+      s"the dim-row range table and centroids must broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"quantized candidates must meet via the cell equi-join:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "top-k must rank within cells")
+  }
+
   test("x3 resume anti-join prunes both scans to the url column") {
     val p = plan("x3_resume_antijoin")
     assert(p.contains("LeftAnti"), s"resume must be a left-anti join:\n$p")

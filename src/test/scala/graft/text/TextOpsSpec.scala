@@ -187,4 +187,52 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(x => (x.getLong(0), x.getLong(1))).toMap
     assert(r == Map(1L -> 0L, 2L -> 0L))
   }
+
+  // 42 tokens, 7 stopword hits (>=5%), 41 distinct (>=50%) -> the high
+  // conjunction holds when nothing cross-duplicates it
+  private val proseTokens = Vector("the", "quick", "analysis", "of", "a",
+    "modern", "system", "shows", "that", "large", "volumes", "stream",
+    "across", "many", "nodes", "while", "engineers", "measure", "latency",
+    "and", "throughput", "before", "deployment", "because", "storage",
+    "layout", "matters", "for", "columnar", "scans", "and", "join", "order",
+    "during", "query", "planning", "work", "so", "results", "stay",
+    "stable", "here")
+  private val prose = proseTokens.mkString(" ")
+
+  test("tier assignment fires every rule on a hand-built corpus") {
+    assert(proseTokens.size == 42)
+    val salad40 = Array.fill(20)("spam ham").mkString(" ") // 40 tokens, 2 distinct, 0 stops
+    val mid30 = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra " +
+      "tango uniform victor whiskey xray yankee zulu gamma kappa rho the")
+      .trim // 30 tokens, 1 stopword (ratio 1/30 < 5%), distinct, under 40
+    val d = docs(
+      1L -> "tiny short document under twenty tokens total", // b0 short
+      2L -> prose,                                            // keeper of the dup pair
+      3L -> prose,                                            // b1 loser (+b2 coverage)
+      4L -> salad40,                                          // b3 low-distinct + b4 no-stops
+      5L -> (prose + " extra trailing marker token"),         // 35/39 positions shared -> b2
+      6L -> mid30)                                            // none -> mid
+    val r = TextOps.tierAssign(d).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    assert(r(1L)._1 == 0 && (r(1L)._2 & 1L) != 0, s"short doc: ${r(1L)}")
+    assert(r(2L)._1 == 0 && (r(2L)._2 & 4L) != 0, // keeper, but 100% cross-dup'd
+      s"dup keeper fully covered: ${r(2L)}")
+    assert(r(3L)._1 == 0 && (r(3L)._2 & 2L) != 0, s"dup loser: ${r(3L)}")
+    assert(r(4L)._1 == 1 && (r(4L)._2 & 24L) != 0, s"word salad: ${r(4L)}")
+    assert(r(5L)._1 == 0 && (r(5L)._2 & 4L) != 0, s"heavily cross-duplicated: ${r(5L)}")
+    assert(r(6L)._1 == 2 && r(6L)._2 == 0L, s"mid doc fires nothing: ${r(6L)}")
+  }
+
+  test("tier assignment: clean prose reaches tier 3 only via the high conjunction") {
+    val other = ("completely unrelated content with the usual stopword mix " +
+      "covering different topics entirely and never repeating grams from " +
+      "elsewhere in this corpus so coverage stays at zero for both texts " +
+      "while lengths sit comfortably above the forty token threshold yes " +
+      "indeed").trim // 41 tokens, 8 stops, no 8-gram shared with `prose`
+    val r = TextOps.tierAssign(docs(1L -> prose, 2L -> other)).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getLong(2))).toMap
+    assert(r(1L) == ((3, 64L)), s"prose: ${r(1L)}")
+    assert(r(2L) == ((3, 64L)), s"prose2: ${r(2L)}")
+  }
 }
