@@ -276,6 +276,24 @@ object SparkEntry {
           sum(when(col("ndocs") >= 2, col("len")).otherwise(0L)).as("dup_chars"))
     }),
 
+    // ---- tier extraction end-to-end: pages → streaming-tokenizer
+    // extraction → corpus-level quality tiers over the EXTRACTED text.
+    // This is the flagship composition of the graft: the per-page
+    // mapPartitions front-end feeds the cross-document tier rules
+    // (exact-dup keeper + 8-gram coverage + lexical signals), all
+    // shuffle-by-key — the same plan at 10^12 pages. ---------------------
+    // The tier DAG consumes its input four times (signals, dup keeper,
+    // gram positions, gram DF); persisting the narrow (doc_id, text)
+    // projection keeps that at ONE run of the tokenizer + in-memory
+    // rescans. The production shape at 10^12 rows is jobs.TierJob, which
+    // reads the MATERIALIZED extracted table instead of caching.
+    "x9_page_tiers" -> ((s, d) => {
+      val ex = extractedDf(s, d)
+        .select(col("url").as("doc_id"), col("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      TextOps.tierAssign(ex).withColumnRenamed("doc_id", "url")
+    }),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -359,11 +377,50 @@ object SparkEntry {
     def h60(e: String) = s"CAST(('0x' || substr(md5($e),1,15)) AS BIGINT)"
     // word n-grams mirroring TextOps.grams (short texts degrade to one
     // truncated gram)
-    def gramsSql(n: Int) =
+    def gramsSql(n: Int, src: String = "documents") =
       s"""(SELECT doc_id, unnest(
             [array_to_string(w[i:i+${n - 1}], ' ')
              for i in generate_series(1, greatest(length(w)-${n - 1}, 1))]) AS g
-          FROM (SELECT doc_id, $tok AS w FROM documents) t)"""
+          FROM (SELECT doc_id, $tok AS w FROM $src) t)"""
+    // tier-assignment replay over any (doc_id, text) source — shared by
+    // t18 (documents table) and x9 (the extracted pages corpus)
+    def tierSql(src: String, idOut: String) = {
+      val stops = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+            SELECT doc_id, md5(text) AS h,
+              length($tok) AS n_tokens,
+              length(list_distinct($tok)) AS n_distinct,
+              length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                x -> list_contains($stops, x))) AS stop_tokens
+            FROM $src),
+          keep AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
+          pos AS (SELECT * FROM ${gramsSql(8, src)}),
+          gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
+          cov AS (SELECT doc_id,
+                    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_positions,
+                    count(*) AS n_positions
+                  FROM pos JOIN gdf USING (g) GROUP BY doc_id),
+          s AS (SELECT base.*, keep_id, dup_positions, n_positions
+                FROM base JOIN keep USING (h) JOIN cov USING (doc_id)),
+          r AS (SELECT doc_id,
+                  (n_tokens < 20) AS b0, (doc_id <> keep_id) AS b1,
+                  (dup_positions * 2 >= n_positions) AS b2,
+                  (n_distinct * 10 < n_tokens * 4) AS b3,
+                  (stop_tokens = 0) AS b4,
+                  (dup_positions * 5 >= n_positions) AS b5,
+                  (stop_tokens * 20 >= n_tokens AND n_distinct * 2 >= n_tokens
+                   AND n_tokens >= 40) AS b6
+                FROM s)
+          SELECT doc_id AS $idOut,
+            CASE WHEN b0 OR b1 OR b2 THEN 0
+                 WHEN b3 OR b4 OR b5 THEN 1
+                 WHEN b6 THEN 3 ELSE 2 END AS tier,
+            CAST((CASE WHEN b0 THEN 1 ELSE 0 END) + (CASE WHEN b1 THEN 2 ELSE 0 END)
+               + (CASE WHEN b2 THEN 4 ELSE 0 END) + (CASE WHEN b3 THEN 8 ELSE 0 END)
+               + (CASE WHEN b4 THEN 16 ELSE 0 END) + (CASE WHEN b5 THEN 32 ELSE 0 END)
+               + (CASE WHEN b6 THEN 64 ELSE 0 END) AS BIGINT) AS reasons
+          FROM r"""
+    }
     val minhashSql =
       (s"SELECT doc_id, " +
        (0 until 8).map(i => s"min(${h60(s"'$i:' || s")}) AS h$i").mkString(", ") +
@@ -609,43 +666,11 @@ object SparkEntry {
                CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
                count(*) AS n_positions
              FROM pos JOIN df USING (g) GROUP BY doc_id"""),
-      "t18_tier" -> {
-        val stops = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-        s"""WITH base AS (
-              SELECT doc_id, md5(text) AS h,
-                length($tok) AS n_tokens,
-                length(list_distinct($tok)) AS n_distinct,
-                length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
-                  x -> list_contains($stops, x))) AS stop_tokens
-              FROM documents),
-            keep AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
-            pos AS (SELECT * FROM ${gramsSql(8)}),
-            gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
-            cov AS (SELECT doc_id,
-                      sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_positions,
-                      count(*) AS n_positions
-                    FROM pos JOIN gdf USING (g) GROUP BY doc_id),
-            s AS (SELECT base.*, keep_id, dup_positions, n_positions
-                  FROM base JOIN keep USING (h) JOIN cov USING (doc_id)),
-            r AS (SELECT doc_id,
-                    (n_tokens < 20) AS b0, (doc_id <> keep_id) AS b1,
-                    (dup_positions * 2 >= n_positions) AS b2,
-                    (n_distinct * 10 < n_tokens * 4) AS b3,
-                    (stop_tokens = 0) AS b4,
-                    (dup_positions * 5 >= n_positions) AS b5,
-                    (stop_tokens * 20 >= n_tokens AND n_distinct * 2 >= n_tokens
-                     AND n_tokens >= 40) AS b6
-                  FROM s)
-            SELECT doc_id,
-              CASE WHEN b0 OR b1 OR b2 THEN 0
-                   WHEN b3 OR b4 OR b5 THEN 1
-                   WHEN b6 THEN 3 ELSE 2 END AS tier,
-              CAST((CASE WHEN b0 THEN 1 ELSE 0 END) + (CASE WHEN b1 THEN 2 ELSE 0 END)
-                 + (CASE WHEN b2 THEN 4 ELSE 0 END) + (CASE WHEN b3 THEN 8 ELSE 0 END)
-                 + (CASE WHEN b4 THEN 16 ELSE 0 END) + (CASE WHEN b5 THEN 32 ELSE 0 END)
-                 + (CASE WHEN b6 THEN 64 ELSE 0 END) AS BIGINT) AS reasons
-            FROM r"""
-      },
+      "t18_tier" -> tierSql("documents", "doc_id"),
+      // tier extraction end-to-end: the extractor's own text (byte-checked
+      // vs pages.text by x1) flows into the corpus-level tier rules
+      "x9_page_tiers" ->
+        tierSql(s"(SELECT url AS doc_id, text FROM $pages)", "url"),
       "d1_host_stats" ->
         (s"""SELECT split_part(url, '/', 3) AS host, count(*) AS n_pages,
                CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes,

@@ -1,0 +1,46 @@
+package graft.jobs
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.TextOps
+
+/** The curation stage of tier extraction: read the committed extracted
+  * table, assign every document a training-data quality tier
+  * ([[TextOps.tierAssign]]: reject / low / mid / high from exact-dup,
+  * cross-corpus 8-gram coverage, and lexical prose signals), and rewrite
+  * the corpus PARTITIONED BY TIER, so downstream training jobs prune at
+  * the directory level ("read tier>=2" touches no reject/low bytes).
+  *
+  * Scale shape: the tier table is (url, tier, reasons) — three narrow
+  * columns — produced by map-side-combinable aggregations and equi-joins
+  * (see tierAssign's plan audit); attaching it back to the full rows is
+  * one equi-join on url, and the partitioned write is the same single
+  * pass any corpus rewrite costs. Nothing here is quadratic in corpus
+  * size, and the only wide-payload shuffle is the join/write of the text
+  * itself — unavoidable for a physically tier-clustered layout and paid
+  * once, against every downstream epoch reading 4× less.
+  */
+object TierJob {
+
+  /** Tier the extracted table at `extractedRoot` (success partition only;
+    * failed rows carry no text) into `outPath/tiered`, partitioned by
+    * tier. Returns the per-tier document counts (tier, docs). */
+  def run(spark: SparkSession, extractedRoot: String, outPath: String): DataFrame = {
+    val df = spark.read.parquet(extractedRoot)
+    val ex =
+      if (df.columns.contains("failed"))
+        df.filter(!coalesce(col("failed").cast("boolean"), lit(false))).drop("failed")
+      else df
+    val tiers = TextOps.tierAssign(
+      ex.select(col("url").as("doc_id"), col("text")))
+      .withColumnRenamed("doc_id", "url")
+    ex.join(tiers, "url")
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("tier").parquet(s"$outPath/tiered")
+
+    // counts from the written table's partition column only — the scan
+    // prunes to parquet footers + the directory-valued tier column
+    spark.read.parquet(s"$outPath/tiered")
+      .groupBy("tier").agg(count(lit(1)).as("docs"))
+  }
+}

@@ -17,6 +17,26 @@ object TextOps {
 
   private def tokens(c: Column): Column = split(trim(c), "\\s+")
 
+  /** N-grams over an ALREADY-MATERIALIZED token-array column. The lambda
+    * only slices `w`; callers must bind `w` to an attribute (not the
+    * split expression itself): Spark does not hoist non-lambda
+    * subexpressions out of higher-order functions, so inlining
+    * `split(text)` here re-tokenizes the document at EVERY gram position
+    * — O(tokens²), minutes on a single long-tail web page. */
+  private def gramsOf(w: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(w, i, lit(n))))
+
+  /** One (doc_id, gram) row per n-gram position, with tokenization in its
+    * own projection so split() runs once per document. CollapseProject
+    * keeps the projections separate (the token array is referenced more
+    * than once and split is not collapse-cheap); the "gram explosion
+    * tokenizes once" test in `TextOpsSpec` guards this shape. */
+  private def explodedGrams(docs: DataFrame, n: Int, out: String): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(gramsOf(col("w"), n)).as(out))
+
   /** 60-bit md5-derived hash of a string column. */
   def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
@@ -48,13 +68,10 @@ object TextOps {
     docs.groupBy(md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
 
-  /** Word 3-shingles of the text column. */
-  def shingles(c: Column): Column = {
-    val w = tokens(c)
-    transform(
-      sequence(lit(1), greatest(size(w) - 2, lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(3))))
-  }
+  /** Word 3-shingles of the text column (convenience form for short
+    * texts/specs; hot paths go through [[explodedGrams]] so tokenization
+    * is not re-evaluated inside the position lambda). */
+  def shingles(c: Column): Column = gramsOf(tokens(c), 3)
 
   /** MinHash signature: 8 independent 60-bit min-hashes over word
     * 3-shingles (seeded by prefixing the shingle with "i:").
@@ -64,7 +81,7 @@ object TextOps {
     * whole-stage codegen (interpreted per element, ~100× slower measured);
     * the explode form keeps every hash in generated code. */
   def minhash(docs: DataFrame, nHashes: Int = 8): DataFrame = {
-    val sh = docs.select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sh = explodedGrams(docs, 3, "s")
     val aggs = (0 until nHashes).map { i =>
       min(md5Hash60(concat(lit(s"$i:"), col("s")))).as(s"h$i")
     }
@@ -159,8 +176,8 @@ object TextOps {
     * the estimate). Disabled by default (exact semantics, oracle-matched);
     * set a few hundred for corpus-scale runs. */
   def jaccardPairs(docs: DataFrame, maxDf: Long = 0L): DataFrame = {
-    val all = docs.select(col("doc_id"),
-      explode(array_distinct(shingles(col("text")))).as("s"))
+    val all = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), explode(array_distinct(gramsOf(col("w"), 3))).as("s"))
     val sh =
       if (maxDf <= 0) all
       else {
@@ -237,15 +254,6 @@ object TextOps {
       size(tokens(col("text"))).as("n_tokens"))
   }
 
-  /** Word n-grams of the text column (positions 1..len-n+1; short texts
-    * degrade to one truncated gram, matching `shingles`). */
-  private def grams(c: Column, n: Int): Column = {
-    val w = tokens(c)
-    transform(
-      sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
-      i => concat_ws(" ", slice(w, i, lit(n))))
-  }
-
   /** Gopher-style repetition signals, integer-exact:
     *   - top{2,3}_cnt / top{2,3}_chars: occurrence count of the most
     *     frequent word 2-/3-gram (ties broken by lexicographically
@@ -264,7 +272,7 @@ object TextOps {
     * already-aggregated (one row per doc) legs. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
     def gramCounts(n: Int) =
-      docs.select(col("doc_id"), explode(grams(col("text"), n)).as("g"))
+      explodedGrams(docs, n, "g")
         .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
     def top(n: Int, pfx: String) =
       gramCounts(n)
@@ -295,7 +303,7 @@ object TextOps {
     * count. The gram-key join is the same bounded-fanout shape as the
     * banded LSH joins: each position joins exactly one df row. */
   def crossDupCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
-    val pos = docs.select(col("doc_id"), explode(grams(col("text"), n)).as("g"))
+    val pos = explodedGrams(docs, n, "g")
     val df = pos.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
     pos.join(df, "g")
       .groupBy("doc_id").agg(

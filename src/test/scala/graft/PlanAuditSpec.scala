@@ -149,6 +149,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "top-k must rank within cells")
   }
 
+  test("x9 page tiers: extraction feeds tier rules via equi-joins, no cartesian") {
+    val p = plan("x9_page_tiers")
+    assertNoCartesian(p, "x9")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"keeper/coverage attach via equi-joins over the extracted corpus:\n$p")
+    assert(p.contains("MapPartitions") || p.contains("SerializeFromObject"),
+      s"the extractor front-end must be the typed per-page transform:\n$p")
+  }
+
   test("x3 resume anti-join prunes both scans to the url column") {
     val p = plan("x3_resume_antijoin")
     assert(p.contains("LeftAnti"), s"resume must be a left-anti join:\n$p")

@@ -199,6 +199,26 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stable", "here")
   private val prose = proseTokens.mkString(" ")
 
+  test("gram explosion tokenizes once: split() stays out of the position lambda") {
+    // split(text) inlined into the transform lambda re-tokenizes at every
+    // gram position — O(tokens²), measured 934 s vs 14 s on sf0.01 pages.
+    // The optimizer must keep tokenization in its own projection below
+    // the Generate: the generator expression may slice the token-array
+    // attribute but must not contain split itself.
+    val d = docs(1L -> "alpha beta gamma delta epsilon")
+    for (q <- Seq(TextOps.crossDupCoverage(d), TextOps.minhash(d),
+        TextOps.repetitionSignals(d), TextOps.jaccardPairs(d))) {
+      val gens = q.queryExecution.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(gens.nonEmpty, "gram ops must explode positions via Generate")
+      for (g <- gens) {
+        assert(!g.generator.sql.contains("split("),
+          s"tokenization leaked into the gram lambda:\n${g.generator.sql}")
+      }
+    }
+  }
+
   test("tier assignment fires every rule on a hand-built corpus") {
     assert(proseTokens.size == 42)
     val salad40 = Array.fill(20)("spam ham").mkString(" ") // 40 tokens, 2 distinct, 0 stops
