@@ -240,6 +240,7 @@ object SparkEntry {
     "t16_repetition" -> ((s, d) => TextOps.repetitionSignals(docs(s, d))),
     "t17_crossdup" -> ((s, d) => TextOps.crossDupCoverage(docs(s, d))),
     "t18_tier" -> ((s, d) => TextOps.tierAssign(docs(s, d))),
+    "t19_split" -> ((s, d) => TextOps.hashSplit(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -282,6 +283,13 @@ object SparkEntry {
     // mapPartitions front-end feeds the cross-document tier rules
     // (exact-dup keeper + 8-gram coverage + lexical signals), all
     // shuffle-by-key — the same plan at 10^12 pages. ---------------------
+    // PII/pattern scrubbing over the extracted page text (the generator's
+    // corpus carries ©-year marks; email/phone legs are live logic
+    // verified on crafted docs in TextOpsSpec)
+    "x10_scrub" -> ((s, d) =>
+      TextOps.piiScrub(pagesDf(s, d).select(col("url").as("doc_id"), col("text")))
+        .withColumnRenamed("doc_id", "url")),
+
     // The tier DAG consumes its input four times (signals, dup keeper,
     // gram positions, gram DF); persisting the narrow (doc_id, text)
     // projection keeps that at ONE run of the tokenizer + in-memory
@@ -667,6 +675,24 @@ object SparkEntry {
                count(*) AS n_positions
              FROM pos JOIN df USING (g) GROUP BY doc_id"""),
       "t18_tier" -> tierSql("documents", "doc_id"),
+      "t19_split" ->
+        (s"""SELECT doc_id, b AS bucket,
+               CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val'
+                    ELSE 'train' END AS split
+             FROM (SELECT doc_id,
+                     ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
+                   FROM documents)"""),
+      "x10_scrub" -> {
+        val cnts = TextOps.scrubPatterns.map { case (nm, p) =>
+          s"CAST(length(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$nm"
+        }.mkString(", ")
+        val scrub = TextOps.scrubPatterns.foldLeft("text") {
+          case (e, (_, p)) => s"regexp_replace($e, '$p', '▮', 'g')"
+        }
+        s"""SELECT url, $cnts,
+              CAST(length(text) - length($scrub) AS BIGINT) AS chars_removed
+            FROM $pages"""
+      },
       // tier extraction end-to-end: the extractor's own text (byte-checked
       // vs pages.text by x1) flows into the corpus-level tier rules
       "x9_page_tiers" ->

@@ -249,7 +249,7 @@ object TextOps {
       charClassCount(col("text"), "[!-/:-@\\[-`{-~]").as("punct_chars"),
       charClassCount(col("text"), "[A-Z]").as("upper_chars"),
       charClassCount(col("text"), "[0-9]").as("digit_chars"),
-      size(filter(w, t => array_contains(array(stopwords.map(lit): _*), t)))
+      size(filter(w, t => t.isin(stopwords: _*)))
         .as("stop_tokens"),
       size(tokens(col("text"))).as("n_tokens"))
   }
@@ -340,7 +340,12 @@ object TextOps {
     val base = docs.select(col("doc_id"), md5(col("text")).as("h"),
       size(w).as("n_tokens"),
       size(array_distinct(w)).as("n_distinct"),
-      size(filter(wl, t => array_contains(array(stopwords.map(lit): _*), t)))
+      // membership via isin → an InSet over the literal list: O(1) per
+      // token, and nothing for the lambda to rebuild per element (an
+      // array(...) literal constructed inside the lambda is re-created at
+      // EVERY token — the same higher-order-function non-hoisting trap as
+      // the gram explosion, compounded by tierAssign's multi-branch DAG)
+      size(filter(wl, t => t.isin(stopwords: _*)))
         .as("stop_tokens"))
     val keep = base.groupBy("h").agg(min(col("doc_id")).as("keep_id"))
     val cov = crossDupCoverage(docs)
@@ -361,6 +366,45 @@ object TextOps {
         .otherwise(2).as("tier"),
       (bit(short, 0) + bit(loser, 1) + bit(cov50, 2) + bit(lowDistinct, 3) +
         bit(noStops, 4) + bit(cov20, 5) + bit(high, 6)).as("reasons"))
+  }
+
+  /** Deterministic train/val/test sharding by a seeded md5 bucket of the
+    * document id — no rand(), no row_number, no global sort, so the
+    * assignment is a pure per-row projection: stable across runs,
+    * engines, partitionings and cluster sizes (the property a 10^12-row
+    * corpus split must have — re-running the pipeline, or computing the
+    * split on a different cluster, reproduces identical membership, and
+    * the op itself is embarrassingly parallel with zero shuffles). */
+  def hashSplit(docs: DataFrame, valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val bucket = md5Hash60(concat(lit("split:"), col("doc_id"))) % 100
+    docs.select(col("doc_id"), bucket.as("bucket"),
+      when(bucket < testPct, "test")
+        .when(bucket < testPct + valPct, "val")
+        .otherwise("train").as("split"))
+  }
+
+  /** Sensitive-pattern scrubbing signals (the PII-redaction stage of a
+    * training-data pipeline): per pattern a match count, plus the total
+    * characters removed when every match collapses to a single
+    * replacement mark. Patterns are RE2-safe (no backrefs/lookaround) so
+    * Java regex and the oracle's RE2 agree match-for-match; application
+    * order is fixed (emails before phones before marks) so overlapping
+    * hits resolve identically in both engines. The scrub itself is a
+    * per-row projection — no shuffle, codegen'd, corpus-scale-free. */
+  val scrubPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\+?[0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}",
+    "year_mark" -> "©[0-9]{4}")
+
+  def piiScrub(docs: DataFrame): DataFrame = {
+    val counts = scrubPatterns.map { case (nm, p) =>
+      regexp_count(col("text"), lit(p)).cast("long").as(s"n_$nm")
+    }
+    val scrubbed = scrubPatterns.foldLeft(col("text")) {
+      case (c, (_, p)) => regexp_replace(c, lit(p), lit("▮"))
+    }
+    docs.select(col("doc_id") +: counts :+
+      (length(col("text")) - length(scrubbed)).cast("long").as("chars_removed"): _*)
   }
 
   /** BPE-ish regex tokenization: letter runs, digit runs, and single

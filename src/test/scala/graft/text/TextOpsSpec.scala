@@ -199,6 +199,44 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "stable", "here")
   private val prose = proseTokens.mkString(" ")
 
+  test("hash split: deterministic, partition-invariant, every doc in exactly one shard") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 400L).map(i => (i, s"doc number $i")).toDF("doc_id", "text")
+    val a = TextOps.hashSplit(d).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // identical assignment from a differently-partitioned input (no
+    // rand/row_number dependence — the 10^12-row reproducibility property)
+    val b = TextOps.hashSplit(d.repartition(7)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a == b, "split must not depend on physical partitioning")
+    assert(a.size == 400)
+    val byShard = a.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byShard.keySet == Set("train", "val", "test"), s"shards: $byShard")
+    assert(byShard("train") > 300, s"train holds ~90%: $byShard")
+    assert(a.values.forall { case (bk, sp) =>
+      (bk < 5) == (sp == "test") && (bk >= 5 && bk < 10) == (sp == "val")
+    }, "bucket boundaries map exactly to shard names")
+  }
+
+  test("pii scrub counts and removes emails, phones, year marks") {
+    val d = docs(
+      1L -> "contact us at team.lead+x@example.co.uk or sales@corp.io today",
+      2L -> "call +91 987 6543 or 040 1234 567 now",
+      3L -> "plain prose with nothing to scrub at all",
+      4L -> "footer ©2024 and again ©1999 end")
+    val r = TextOps.piiScrub(d).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L)._1 == 2 && r(1L)._2 == 0 && r(1L)._3 == 0, s"emails: ${r(1L)}")
+    // "team.lead+x@example.co.uk"(25) + "sales@corp.io"(13) -> 2 marks
+    assert(r(1L)._4 == 25 + 13 - 2, s"email chars removed: ${r(1L)}")
+    assert(r(2L)._1 == 0 && r(2L)._2 == 2, s"phones: ${r(2L)}")
+    // "+91 987 6543"(12) + "040 1234 567"(12) -> 2 marks
+    assert(r(2L)._4 == 12 + 12 - 2, s"phone chars removed: ${r(2L)}")
+    assert(r(3L) == ((0L, 0L, 0L, 0L)), s"clean doc untouched: ${r(3L)}")
+    assert(r(4L)._3 == 2 && r(4L)._4 == 5 + 5 - 2, s"year marks: ${r(4L)}")
+  }
+
   test("gram explosion tokenizes once: split() stays out of the position lambda") {
     // split(text) inlined into the transform lambda re-tokenizes at every
     // gram position — O(tokens²), measured 934 s vs 14 s on sf0.01 pages.
