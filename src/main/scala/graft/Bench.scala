@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
-import graft.jobs.{ExtractionJob, JobConfig}
+import graft.jobs.{ExtractionJob, JobConfig, TierJob}
 import graft.pages.PagesTable
 
 /** Benchmark main: headline queries + extraction throughput on
@@ -144,6 +144,20 @@ object Bench {
     }.min
     results += "extract" -> extractSec
     val docsPerSec = nDocs / extractSec
+
+    // tier curation end-to-end: one (untimed) extraction materializes the
+    // corpus, then the timed TierJob pass — corpus tier rules + the
+    // tier-partitioned rewrite — runs over it, the production shape of
+    // the pipeline's second stage
+    locally {
+      val outPath = java.nio.file.Files.createTempDirectory("graft_bench_tier").toString
+      ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "benchtier"))
+      val (_, sec) = time {
+        TierJob.run(spark, s"$outPath/extracted", outPath).collect()
+      }
+      results += "tier_job" -> sec
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    }
 
     // headline scale-path queries
     val headline = Seq(

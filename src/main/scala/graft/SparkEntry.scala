@@ -241,6 +241,7 @@ object SparkEntry {
     "t17_crossdup" -> ((s, d) => TextOps.crossDupCoverage(docs(s, d))),
     "t18_tier" -> ((s, d) => TextOps.tierAssign(docs(s, d))),
     "t19_split" -> ((s, d) => TextOps.hashSplit(docs(s, d))),
+    "t20_pretier" -> ((s, d) => TextOps.preTier(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -682,6 +683,28 @@ object SparkEntry {
              FROM (SELECT doc_id,
                      ${h60("'split:' || CAST(doc_id AS VARCHAR)")} % 100 AS b
                    FROM documents)"""),
+      "t20_pretier" -> {
+        val stops = TextOps.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""WITH base AS (
+              SELECT doc_id, length($tok) AS n_tokens,
+                length(list_distinct($tok)) AS n_distinct,
+                length(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                  x -> list_contains($stops, x))) AS stop_tokens
+              FROM documents),
+            r AS (SELECT doc_id, (n_tokens < 20) AS b0,
+                    (n_distinct * 10 < n_tokens * 4) AS b3,
+                    (stop_tokens = 0) AS b4,
+                    (stop_tokens * 20 >= n_tokens AND n_distinct * 2 >= n_tokens
+                     AND n_tokens >= 40) AS b6
+                  FROM base)
+            SELECT doc_id,
+              CASE WHEN b0 THEN 0 WHEN b3 OR b4 THEN 1
+                   WHEN b6 THEN 3 ELSE 2 END AS pre_tier,
+              CAST((CASE WHEN b0 THEN 1 ELSE 0 END) + (CASE WHEN b3 THEN 8 ELSE 0 END)
+                 + (CASE WHEN b4 THEN 16 ELSE 0 END) + (CASE WHEN b6 THEN 64 ELSE 0 END)
+                 AS BIGINT) AS pre_reasons
+            FROM r"""
+      },
       "x10_scrub" -> {
         val cnts = TextOps.scrubPatterns.map { case (nm, p) =>
           s"CAST(length(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$nm"

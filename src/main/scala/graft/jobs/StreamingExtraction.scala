@@ -66,6 +66,18 @@ object StreamingExtraction {
       }
   }
 
+  /** Streaming pre-tier: the corpus-state-free tier rules
+    * ([[graft.text.TextOps.preTierCols]]) applied at ingest as a pure
+    * stateless projection — no state store, no watermark needed. An
+    * ingest pipeline drops `pre_tier = 0` (short) rows before they cost
+    * storage; the batch [[TierJob]] pass later adds the corpus-level
+    * duplication evidence, which can only move surviving documents DOWN
+    * (the upper-bound property asserted in `TextOpsSpec`). */
+  def preTieredPages(pages: DataFrame): DataFrame =
+    pages.select(
+      Seq(col("url"), col("warc_ts"), col("text")) ++
+        graft.text.TextOps.preTierCols(col("text")): _*)
+
   /** Streaming exact dedup: first-seen wins per content hash, with the
     * state store bounded by the event-time watermark — the streaming
     * analogue of the batch `t3_dedup_exact` groupBy (a crawl ingest

@@ -368,6 +368,37 @@ object TextOps {
         bit(noStops, 4) + bit(cov20, 5) + bit(high, 6)).as("reasons"))
   }
 
+  /** The corpus-state-free subset of the tier rules ([[tierAssign]] bits
+    * 0 short, 3 low-distinct, 4 no-stopwords, 6 high-conjunction) as a
+    * STATELESS per-row projection — usable unchanged as a streaming
+    * pre-filter at ingest (no joins, no aggregation, no state store).
+    * The corpus-level bits (1 dup-loser, 2/5 coverage) need batch state
+    * and are absent, so the pre-tier is an UPPER BOUND on the final
+    * tier: the batch pass can only move a document DOWN (to reject/low)
+    * by adding duplication evidence, never up — which is exactly what an
+    * ingest-side early-reject stage needs to be safe
+    * (`TextOpsSpec` asserts the bound corpus-wide). */
+  def preTierCols(text: Column): Seq[Column] = {
+    val w = tokens(text)
+    val wl = tokens(lower(text))
+    val nTok = size(w)
+    val nDist = size(array_distinct(w))
+    val stops = size(filter(wl, t => t.isin(stopwords: _*)))
+    val short = nTok < 20
+    val lowDistinct = nDist * 10 < nTok * 4
+    val noStops = stops === 0
+    val high = stops * 20 >= nTok && nDist * 2 >= nTok && nTok >= 40
+    def bit(c: Column, b: Int) = when(c, lit(1L << b)).otherwise(lit(0L))
+    Seq(
+      when(short, 0).when(lowDistinct || noStops, 1)
+        .when(high, 3).otherwise(2).as("pre_tier"),
+      (bit(short, 0) + bit(lowDistinct, 3) + bit(noStops, 4) + bit(high, 6))
+        .as("pre_reasons"))
+  }
+
+  def preTier(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: preTierCols(col("text")): _*)
+
   /** Deterministic train/val/test sharding by a seeded md5 bucket of the
     * document id — no rand(), no row_number, no global sort, so the
     * assignment is a pure per-row projection: stable across runs,

@@ -95,6 +95,35 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     winQ.stop(); hostQ.stop()
   }
 
+  test("streaming pre-tier: stateless projection, append mode, batch-identical") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val source = MemoryStream[graft.pages.PageRow]
+    val q = StreamingExtraction.preTieredPages(source.toDF())
+      .writeStream.format("memory").queryName("pre_tiered")
+      .outputMode("append").start()
+    val rows = graft.pages.PageGen.pages(7L, 0, 60).toSeq
+    source.addData(rows: _*)
+    q.processAllAvailable()
+
+    // no state store anywhere in the streaming plan (pure row projection —
+    // the property that makes the ingest-side reject free at crawl scale)
+    assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"pre-tier must run stateless:\n${q.lastProgress}")
+    val got = spark.sql("SELECT url, pre_tier, pre_reasons FROM pre_tiered")
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    q.stop()
+    assert(got.size == 60)
+    // identical to the batch projection over the same rows
+    val want = graft.text.TextOps.preTier(
+        rows.toDF().selectExpr("url AS doc_id", "text"))
+      .collect().map(r => r.getString(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(got == want, "stream and batch pre-tier must agree row-for-row")
+  }
+
   test("streaming LSH candidates: banded collisions against first-seen reps, replay-exact") {
     val s = spark
     import s.implicits._

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.BeforeAndAfterAll
 
@@ -198,6 +199,25 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     "during", "query", "planning", "work", "so", "results", "stay",
     "stable", "here")
   private val prose = proseTokens.mkString(" ")
+
+  test("pre-tier upper-bounds the final tier on a whole corpus") {
+    // the streamable rules can only be confirmed or worsened by the batch
+    // corpus evidence — a doc never moves UP from its ingest pre-tier
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val pre = TextOps.preTier(d).select(col("doc_id"), col("pre_tier"))
+    val fin = TextOps.tierAssign(d).select(col("doc_id"), col("tier"))
+    val both = pre.join(fin, "doc_id")
+    assert(both.count() == 500)
+    val violations = both.filter(col("tier") > col("pre_tier")).count()
+    assert(violations == 0, s"$violations docs rose above their pre-tier")
+    // and the local bits agree exactly where they fire
+    val preLocal = TextOps.preTier(d).select(col("doc_id"), col("pre_reasons"))
+    val finLocal = TextOps.tierAssign(d)
+      .select(col("doc_id"), (col("reasons").bitwiseAND(lit(1L + 8L + 16L + 64L))).as("fr"))
+    assert(preLocal.join(finLocal, "doc_id")
+      .filter(col("pre_reasons") =!= col("fr")).count() == 0,
+      "local rule bits must be identical between pre and final")
+  }
 
   test("hash split: deterministic, partition-invariant, every doc in exactly one shard") {
     val s = spark
