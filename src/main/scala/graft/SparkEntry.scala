@@ -403,12 +403,13 @@ object SparkEntry {
                 x -> list_contains($stops, x))) AS stop_tokens
             FROM $src),
           keep AS (SELECT h, min(doc_id) AS keep_id FROM base GROUP BY h),
-          pos AS (SELECT * FROM ${gramsSql(8, src)}),
-          gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g),
+          cnt AS (SELECT doc_id, g, count(*) AS cnt
+                  FROM ${gramsSql(8, src)} GROUP BY 1, 2),
+          gdf AS (SELECT g, count(*) AS df FROM cnt GROUP BY g),
           cov AS (SELECT doc_id,
-                    sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS dup_positions,
-                    count(*) AS n_positions
-                  FROM pos JOIN gdf USING (g) GROUP BY doc_id),
+                    sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS dup_positions,
+                    sum(cnt) AS n_positions
+                  FROM cnt JOIN gdf USING (g) GROUP BY doc_id),
           s AS (SELECT base.*, keep_id, dup_positions, n_positions
                 FROM base JOIN keep USING (h) JOIN cov USING (doc_id)),
           r AS (SELECT doc_id,
@@ -668,13 +669,17 @@ object SparkEntry {
                    dup5_distinct, dup5_occurrences, n5_grams
             FROM t2 JOIN t3 USING (doc_id) JOIN five USING (doc_id)"""
       },
+      // the Spark side keys on xxhash64(gram) internally (shuffle-width
+      // optimization; the key is never output) — the oracle groups by the
+      // gram string itself, which yields identical counts
       "t17_crossdup" ->
-        (s"""WITH pos AS (SELECT * FROM ${gramsSql(8)}),
-                df AS (SELECT g, count(DISTINCT doc_id) AS df FROM pos GROUP BY g)
+        (s"""WITH cnt AS (SELECT doc_id, g, count(*) AS cnt
+                          FROM ${gramsSql(8)} GROUP BY 1, 2),
+                gdf AS (SELECT g, count(*) AS df FROM cnt GROUP BY g)
              SELECT doc_id,
-               CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_positions,
-               count(*) AS n_positions
-             FROM pos JOIN df USING (g) GROUP BY doc_id"""),
+               CAST(sum(CASE WHEN df >= 2 THEN cnt ELSE 0 END) AS BIGINT) AS dup_positions,
+               CAST(sum(cnt) AS BIGINT) AS n_positions
+             FROM cnt JOIN gdf USING (g) GROUP BY doc_id"""),
       "t18_tier" -> tierSql("documents", "doc_id"),
       "t19_split" ->
         (s"""SELECT doc_id, b AS bucket,

