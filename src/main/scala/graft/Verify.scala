@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // e2/e7/e8/x9 persist intermediates internally (documented leak —
+      // the caller owns the cache); drop them so 59 sequential queries
+      // don't accumulate session-lifetime blocks
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
