@@ -242,6 +242,15 @@ object SparkEntry {
     "t18_tier" -> ((s, d) => TextOps.tierAssign(docs(s, d))),
     "t19_split" -> ((s, d) => TextOps.hashSplit(docs(s, d))),
     "t20_pretier" -> ((s, d) => TextOps.preTier(docs(s, d))),
+
+    // LSH candidate pairs → transitive clusters → keeper bit per doc:
+    // the text-side corpus-dedup DECISION (t11 finds candidate pairs;
+    // this collapses A~B, B~C into keep-one-of-{A,B,C}). Min-label
+    // propagation over the banded pair graph; the oracle replays the
+    // unique fixpoint by recursive reachability over the t11 derivation.
+    "t21_neardup_keepers" -> ((s, d) =>
+      graft.sim.Components.keepers(s, docs(s, d).select("doc_id"),
+        TextOps.minhashPairs(docs(s, d)))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -332,6 +341,13 @@ object SparkEntry {
     // IVF-SQ: int8 scalar-quantized codes (the 4x memory path) ranked by
     // exact integer dot inside IVF cells — ranks AND dots hash-checked.
     "e8_sq_knn" -> ((s, d) => Ann.sqKnn(emb(s, d), k = 5)),
+
+    // near-dup pairs → transitive duplicate CLUSTERS → one keeper each:
+    // the step that makes pairwise dedup actually delete (A~B, B~C must
+    // collapse {A,B,C} to one doc). Distributed min-label propagation;
+    // the oracle reproduces the unique fixpoint by recursive reachability.
+    "e9_dup_components" -> ((s, d) =>
+      graft.sim.Components.dupComponents(s, emb(s, d), threshold = 0.42)),
 
     // Hierarchical (coarse->fine) IVF — the past-the-cap scale path,
     // hash-checked like the flat index: the two-level assignment and the
@@ -773,6 +789,33 @@ object SparkEntry {
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""
       },
+      "t21_neardup_keepers" -> {
+        // recursive reachability over the SAME banded pair derivation as
+        // t11: component(d) = min doc_id reachable — the unique fixpoint
+        // the Spark-side label propagation converges to
+        def bucket(b: Int) = (0 until 4)
+          .map(k => s"CAST(h${b * 4 + k} AS VARCHAR)").mkString(" || ',' || ")
+        s"""WITH RECURSIVE sig AS ($minhashSql),
+            banded AS (
+              SELECT doc_id, 0 AS band, md5(${bucket(0)}) AS bucket FROM sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(${bucket(1)}) AS bucket FROM sig),
+            prs AS (
+              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+              FROM banded l JOIN banded r
+                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+            edges AS (SELECT a AS src, b AS dst FROM prs
+                      UNION ALL SELECT b, a FROM prs),
+            reach AS (
+              SELECT doc_id AS v, doc_id AS r FROM documents
+              UNION
+              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst),
+            comp AS (SELECT v AS doc_id, min(r) AS component
+                     FROM reach GROUP BY v)
+            SELECT doc_id, component,
+              (doc_id = component) AS is_keeper
+            FROM comp"""
+      },
       "s1_script" -> {
         val re2 = Map(
           "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
@@ -830,6 +873,28 @@ object SparkEntry {
              FROM home l JOIN home r
                ON l.cell = r.cell AND l.vec_id < r.vec_id
              WHERE list_cosine_similarity(l.e, r.e) >= 0.42"""),
+      "e9_dup_components" ->
+        // recursive reachability over the SAME pair derivation as e4:
+        // component(v) = min id reachable — the unique fixpoint the
+        // Spark-side label propagation converges to
+        (s"""WITH RECURSIVE pairs AS (
+               SELECT a, b FROM (WITH ${ivfAssignSql(1)},
+                 home AS (SELECT * FROM assign WHERE rn = 1)
+                 SELECT l.vec_id AS a, r.vec_id AS b
+                 FROM home l JOIN home r
+                   ON l.cell = r.cell AND l.vec_id < r.vec_id
+                 WHERE list_cosine_similarity(l.e, r.e) >= 0.42) t),
+             edges AS (SELECT a AS src, b AS dst FROM pairs
+                       UNION ALL SELECT b, a FROM pairs),
+             reach AS (
+               SELECT vec_id AS v, vec_id AS r FROM embeddings
+               UNION
+               SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst),
+             comp AS (SELECT v AS vec_id, min(r) AS component
+                      FROM reach GROUP BY v)
+             SELECT vec_id, component,
+               (vec_id = component) AS is_keeper
+             FROM comp"""),
       "e5_ivf_recall" ->
         (s"""WITH ${ivfAssignSql(4)},
              probes AS (SELECT * FROM assign WHERE rn <= 4),

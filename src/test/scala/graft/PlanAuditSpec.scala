@@ -158,6 +158,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the extractor front-end must be the typed per-page transform:\n$p")
   }
 
+  test("e9 components: pair derivation is a cell equi-join; rounds shuffle edges only") {
+    // the loop's per-round plan is join(edges, labels) + groupBy — both
+    // keyed shuffles; the scale-critical part is the pair derivation
+    // (must never be all-pairs) and the loop's plan depth (must stay
+    // constant per round — Components re-roots each round's lineage).
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val pairsPlan = graft.sim.Ann.cosineDupPairs(emb, 0.42)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(pairsPlan, "e9 pair derivation")
+    assert(pairsPlan.contains("SortMergeJoin") || pairsPlan.contains("BroadcastHashJoin"),
+      s"near-dup pairs must meet via the IVF cell equi-join:\n$pairsPlan")
+    spark.catalog.clearCache()
+    val p = plan("e9_dup_components")
+    assertNoCartesian(p, "e9")
+    // the final labels table is a re-rooted leaf, not a 2^rounds plan
+    assert(p.contains("Scan ExistingRDD") || p.contains("LogicalRDD"),
+      s"converged labels must be a re-rooted plan leaf:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("x3 resume anti-join prunes both scans to the url column") {
     val p = plan("x3_resume_antijoin")
     assert(p.contains("LeftAnti"), s"resume must be a left-anti join:\n$p")
