@@ -63,6 +63,13 @@ object Components {
       round += 1
     }
     edges.unpersist()
+    // a silently-truncated fixpoint would be a WRONG answer (labels not
+    // yet minimal) — fail loudly; dedup graphs converge in a handful of
+    // rounds, so hitting the cap means the input isn't dedup-shaped and
+    // the caller should raise maxRounds deliberately.
+    if (changed > 0)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds ($changed labels still changing)")
     // the final `labels` stays persisted until the caller materializes;
     // Verify clears persisted intermediates between queries.
     labels.select(col("v").as("vec_id"), col("label").as("component"))

@@ -50,6 +50,16 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(v) == want(v), s"node $v: got ${got(v)}, want ${want(v)}")
   }
 
+  test("non-convergence within maxRounds fails loudly, never returns partial labels") {
+    val s = spark
+    import s.implicits._
+    val chain = (0L until 10L).map(i => (i, i + 1)).toDF("a", "b")
+    val e = intercept[IllegalStateException] {
+      Components.components(spark, chain, maxRounds = 3).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("dupComponents: singletons keep themselves; exactly one keeper per cluster") {
     val s = spark
     import s.implicits._
