@@ -31,16 +31,21 @@ object LangId {
   def predict(docs: DataFrame, idCol: String = "doc_id",
               textCol: String = "text"): DataFrame = {
     val w = split(trim(lower(col(textCol))), "\\s+")
-    val scores: Seq[(String, Column)] = profiles.map { case (lang, stops) =>
-      lang -> size(array_intersect(w, array(stops.map(lit): _*)))
+    // argmax as array_max over (score, priority, lang) structs: struct
+    // comparison is lexicographic, so the max score wins and ties go to
+    // the higher priority = the EARLIER language in `profiles` — the same
+    // fixed-order tie-break as a strictly-greater fold. Linear expression
+    // size (one struct per language); the equivalent when/otherwise fold
+    // nests the whole running CASE into each step, doubling the tree per
+    // language (~2^9 here), which overflows the 64KB codegen method limit
+    // and drops the stage out of whole-stage codegen entirely.
+    val entries = profiles.zipWithIndex.map { case ((lang, stops), i) =>
+      struct(
+        size(array_intersect(w, array(stops.map(lit): _*))).as("s"),
+        lit(profiles.size - i).as("p"),
+        lit(lang).as("lang"))
     }
-    // argmax with fixed-order tie-break: fold left keeping strictly-greater
-    val (bestLang, _) = scores.tail.foldLeft(
-      (lit(scores.head._1), scores.head._2)) {
-      case ((curLang, curScore), (lang, score)) =>
-        (when(score > curScore, lit(lang)).otherwise(curLang),
-         when(score > curScore, score).otherwise(curScore))
-    }
-    docs.select(col(idCol), bestLang.as("pred_lang"))
+    docs.select(col(idCol),
+      array_max(array(entries: _*)).getField("lang").as("pred_lang"))
   }
 }
