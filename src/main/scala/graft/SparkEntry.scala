@@ -251,6 +251,24 @@ object SparkEntry {
     "t21_neardup_keepers" -> ((s, d) =>
       graft.sim.Components.keepers(s, docs(s, d).select("doc_id"),
         TextOps.minhashPairs(docs(s, d)))),
+    // benchmark decontamination: corpus 8-gram positions that leak an
+    // eval set (here a deterministic 1/97 slice standing in for the
+    // benchmark; the real benchmark table is equally tiny → broadcast)
+    "t22_decontam" -> ((s, d) =>
+      TextOps.decontaminate(docs(s, d),
+        docs(s, d).filter(col("doc_id") % 97 === 0))),
+    // incremental ingest dedup: the nightly-batch shape — new docs
+    // (doc_id % 3 != 0) deduped within the batch and anti-joined
+    // against the committed corpus (doc_id % 3 == 0) by text hash
+    "t23_ingest_dedup" -> ((s, d) =>
+      TextOps.ingestDedup(
+        docs(s, d).filter(col("doc_id") % 3 =!= 0),
+        docs(s, d).filter(col("doc_id") % 3 === 0))),
+    // tier-weighted deterministic epoch mixture over the tier table:
+    // reject 0%, low 10%, mid 50%, high 100%
+    "t24_tier_mix" -> ((s, d) =>
+      TextOps.tierMix(TextOps.tierAssign(docs(s, d)),
+        Map(0 -> 0, 1 -> 1000, 2 -> 5000, 3 -> 10000))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -816,6 +834,26 @@ object SparkEntry {
               (doc_id = component) AS is_keeper
             FROM comp"""
       },
+      "t22_decontam" ->
+        (s"""WITH pos AS (SELECT doc_id, g FROM ${gramsSql(8)}),
+              bg AS (SELECT DISTINCT g, 1 AS hit FROM ${gramsSql(8,
+                "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0) b")})
+             SELECT doc_id,
+               CAST(sum(coalesce(hit, 0)) AS BIGINT) AS contaminated_positions,
+               count(*) AS n_positions
+             FROM pos LEFT JOIN bg USING (g) GROUP BY doc_id"""),
+      "t23_ingest_dedup" ->
+        ("""WITH nh AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                        FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1)
+            SELECT doc_id FROM nh
+            WHERE h NOT IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 3 = 0)"""),
+      "t24_tier_mix" ->
+        (s"""WITH t AS (${tierSql("documents", "doc_id")})
+             SELECT doc_id, tier FROM t
+             WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+               CASE tier WHEN 0 THEN 0 WHEN 1 THEN 1000
+                         WHEN 2 THEN 5000 ELSE 10000 END"""),
       "s1_script" -> {
         val re2 = Map(
           "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",

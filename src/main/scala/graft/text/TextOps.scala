@@ -467,4 +467,71 @@ object TextOps {
         .as("n_word_tokens"),
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
         .as("n_num_tokens"))
+
+  /** Benchmark decontamination: per document, how many of its n-gram
+    * positions appear anywhere in `benchmark` — the standard eval-leak
+    * check (GPT-3 appendix C / Lee et al. style) a training corpus runs
+    * against every held-out benchmark before a training epoch.
+    *
+    * Plan shape: the corpus side is one gram explosion (hashed to 8-byte
+    * xxhash64 keys, never the gram strings) left-joined against the
+    * DISTINCT benchmark gram set. The benchmark side is always tiny
+    * relative to the corpus (eval sets are thousands of documents, the
+    * corpus is 10^12), so it is broadcast — the corpus-side explosion
+    * never shuffles AT ALL: hash-join against the broadcast set and
+    * partial-aggregate back to one row per doc within the map task. */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    n: Int = 8): DataFrame = {
+    val pos = explodedGrams(docs, n, "g")
+      .select(col("doc_id"), xxhash64(col("g")).as("gh"))
+    val bg = broadcast(
+      explodedGrams(benchmark, n, "g")
+        .select(xxhash64(col("g")).as("gh")).distinct()
+        .withColumn("hit", lit(1L)))
+    pos.join(bg, Seq("gh"), "left")
+      .groupBy("doc_id").agg(
+        sum(coalesce(col("hit"), lit(0L))).as("contaminated_positions"),
+        count(lit(1)).as("n_positions"))
+  }
+
+  /** Incremental ingest dedup: from a new crawl batch, the documents to
+    * commit — exact-duplicate losers removed both WITHIN the batch
+    * (min-doc_id keeper per text hash, t3's rule) and AGAINST the
+    * already-committed corpus (left-anti on the text hash). This is the
+    * steady-state shape of corpus growth: every nightly batch dedups
+    * against the full committed table without ever rewriting it.
+    *
+    * Scale shape: the committed side is read as a one-column hash
+    * projection (column pruning reaches the scan — no text bytes move),
+    * and both legs are equi-joins on the hash, so a committed table
+    * bucketed by `h` at write time makes the anti-join shuffle-free on
+    * the big side; Spark's runtime bloom-filter injection additionally
+    * prunes the batch side before the shuffle when the batch is the
+    * smaller leg. Nothing here is proportional to corpus text size. */
+  def ingestDedup(newDocs: DataFrame, committed: DataFrame): DataFrame = {
+    val keepWithin = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+    keepWithin
+      .join(committed.select(md5(col("text")).as("h")).distinct(),
+        Seq("h"), "left_anti")
+      .select("doc_id")
+  }
+
+  /** Tier-weighted deterministic corpus mixing: keep each document with
+    * its tier's sampling rate (basis points, 0–10000), decided by a
+    * seeded md5 hash of the doc id — no rand(), no row_number(), so the
+    * mixture is reproducible run-to-run and partition-layout-independent
+    * at any scale, and composes with [[hashSplit]] (different hash salt,
+    * so the two decisions are independent). A per-epoch `seed` re-draws
+    * the sample without reshuffling anything: the whole op is a stateless
+    * projection + filter, zero shuffles on top of the tier table. */
+  def tierMix(tiered: DataFrame, ratesBp: Map[Int, Int],
+              seed: String = "mix"): DataFrame = {
+    val rate = ratesBp.foldLeft(lit(0)) { case (c, (tier, bp)) =>
+      when(col("tier") === tier, lit(bp)).otherwise(c)
+    }
+    tiered.filter(
+        md5Hash60(concat(lit(s"$seed:"), col("doc_id"))) % 10000 < rate)
+      .select(col("doc_id"), col("tier"))
+  }
 }

@@ -129,6 +129,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the exact-dup keeper must come from groupBy(md5)+join, not a window:\n$p")
   }
 
+  test("t22 decontamination: benchmark gram set broadcasts, corpus side never shuffles wide") {
+    val p = plan("t22_decontam")
+    assertNoCartesian(p, "t22")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the benchmark gram set is tiny vs the corpus and must broadcast:\n$p")
+    assert(p.contains("xxhash64"),
+      s"corpus grams must join on 8-byte hashes, not gram strings:\n$p")
+  }
+
+  test("t23 ingest dedup: left-anti equi-join on the text hash, no cartesian") {
+    val p = plan("t23_ingest_dedup")
+    assertNoCartesian(p, "t23")
+    assert(p.contains("LeftAnti"),
+      s"committed-corpus exclusion must be a left-anti equi-join:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("partial_min"),
+      "within-batch keeper must be a map-side-combinable min per hash")
+  }
+
+  test("t24 tier mix: stateless hash-threshold filter on top of the tier DAG") {
+    val p = plan("t24_tier_mix")
+    assertNoCartesian(p, "t24")
+    assert(!p.contains("WindowExec"),
+      s"sampling must be a hash threshold, not a window/row_number:\n$p")
+    assert(p.contains("conv(") && p.contains("md5("),
+      s"the mix decision must be the seeded md5 threshold (deterministic):\n$p")
+  }
+
   test("d1 host stats: single partial-aggregated groupBy, no join") {
     val p = plan("d1_host_stats")
     assertNoCartesian(p, "d1")

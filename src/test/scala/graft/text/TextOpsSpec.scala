@@ -313,4 +313,47 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) == ((3, 64L)), s"prose: ${r(1L)}")
     assert(r(2L) == ((3, 64L)), s"prose2: ${r(2L)}")
   }
+
+  test("decontaminate counts exactly the positions whose 8-gram leaks the benchmark") {
+    // 10 tokens -> 3 full 8-grams per doc (positions 1..3)
+    val train = docs(
+      1L -> "a b c d e f g h i j",   // shares grams with bench doc 100
+      2L -> "q r s t u v w x y z")   // disjoint from the benchmark
+    val bench = docs(100L -> "a b c d e f g h i j")
+    val r = TextOps.decontaminate(train, bench).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r(1L) == ((3L, 3L)), s"fully leaked doc: ${r(1L)}")
+    assert(r(2L) == ((0L, 3L)), s"clean doc: ${r(2L)}")
+  }
+
+  test("ingestDedup keeps one doc per new text and none already committed") {
+    val committed = docs(10L -> "already committed text body here")
+    val batch = docs(
+      21L -> "already committed text body here",  // dup vs corpus -> dropped
+      22L -> "fresh content alpha",               // keeper (min id of its pair)
+      23L -> "fresh content alpha",               // within-batch loser
+      24L -> "fresh content beta")                // unique
+    val kept = TextOps.ingestDedup(batch, committed)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(22L, 24L), s"kept: $kept")
+  }
+
+  test("tierMix is deterministic, respects 0/10000 rates, and re-draws with the seed") {
+    val s = spark
+    import s.implicits._
+    val tiered = (0L until 400L).map(i => (i, (i % 4).toInt)).toDF("doc_id", "tier")
+    val all = Map(0 -> 0, 1 -> 10000, 2 -> 5000, 3 -> 10000)
+    val a = TextOps.tierMix(tiered, all).collect().map(r => (r.getLong(0), r.getInt(1)))
+    val b = TextOps.tierMix(tiered, all).collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(a.sorted.toSeq == b.sorted.toSeq, "same seed must reproduce the sample")
+    assert(!a.exists(_._2 == 0), "rate 0 tier must be empty")
+    assert(a.count(_._2 == 1) == 100 && a.count(_._2 == 3) == 100,
+      "rate 10000 tiers must keep every doc")
+    val mid = a.count(_._2 == 2)
+    assert(mid > 20 && mid < 80, s"rate 5000 tier should keep roughly half, got $mid/100")
+    val c = TextOps.tierMix(tiered, all, seed = "epoch2")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(c.count(_._2 == 2) != mid || c.filter(_._2 == 2).toSeq != a.filter(_._2 == 2).toSeq,
+      "a different seed must draw a different mid-tier sample")
+  }
 }
