@@ -163,7 +163,7 @@ object Bench {
     val headline = Seq(
       "t5_minhash", "t6_simhash", "t7_jaccard_pairs", "t11_lsh_pairs",
       "t14_simhash_pairs", "t15_winnow", "t16_repetition", "t17_crossdup",
-      "t18_tier", "e2_knn_ivf", "e4_cosine_dups", "e6_srp_dups", "e8_sq_knn",
+      "t18_tier", "t22_decontam", "e2_knn_ivf", "e4_cosine_dups", "e6_srp_dups", "e8_sq_knn",
       "e9_dup_components", "s1_script", "q1_agg", "q3_window")
     for (name <- headline; fn <- SparkEntry.queries.get(name)) {
       val (_, sec) = time {

@@ -10,14 +10,19 @@ import graft.pages.PagesTable
   * state and host noise affect all levels equally; reports the best run
   * per level and the N→4N efficiency.
   *
-  * Usage: runMain graft.ScalingBench [sfName] [levels,...] [reps]
-  *   default: sf0.1  4,16,8,32  2
+  * Usage: runMain graft.ScalingBench [sfName] [levels,...] [reps] [mode]
+  *   default: sf0.1  4,16,8,32  2  extract
+  *   mode `tier`: measures the [[graft.jobs.TierJob]] curation pass
+  *   instead — the extracted corpus is materialised ONCE (untimed) and
+  *   shared read-only by every level, so each timed run is exactly the
+  *   tier rules + tier-partitioned rewrite.
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
     val sfName = args.headOption.getOrElse("sf0.1")
     val levels = args.lift(1).getOrElse("4,16,8,32").split(",").map(_.trim.toInt).toSeq
     val reps = args.lift(2).map(_.toInt).getOrElse(2)
+    val mode = args.lift(3).getOrElse("extract")
 
     // Sandbox I/O analogue: this host has ONE shared disk, a real N-vs-4N
     // comparison gives every executor its own disks/NIC. Putting shuffle
@@ -52,10 +57,20 @@ object ScalingBench {
       s
     }
 
-    // materialise pages once
+    // materialise pages once; in tier mode also the extracted corpus the
+    // tier pass reads (untimed — the measurement is the curation stage)
     val boot = session(8)
     val pagesPath = PagesTable.ensure(boot, sfName)
     val nDocs = PagesTable.rowsFor(sfName)
+    val extractedRoot: Option[String] =
+      if (mode == "tier") {
+        val base = scratch.getOrElse(
+          java.nio.file.Files.createTempDirectory("scaletier").toString)
+        val out = new java.io.File(base, "tier-input"); out.mkdirs()
+        ExtractionJob.run(boot,
+          JobConfig(pagesPath, out.getAbsolutePath, runId = "tierinput"))
+        Some(s"${out.getAbsolutePath}/extracted")
+      } else None
     boot.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -94,7 +109,12 @@ object ScalingBench {
         }
         val g0 = gcMs
         val t0 = System.nanoTime()
-        ExtractionJob.run(spark, JobConfig(pagesPath, out, runId = s"s$runSeq"))
+        extractedRoot match {
+          case Some(root) =>
+            graft.jobs.TierJob.run(spark, root, out).collect()
+          case None =>
+            ExtractionJob.run(spark, JobConfig(pagesPath, out, runId = s"s$runSeq"))
+        }
         val sec = (System.nanoTime() - t0) / 1e9
         val gcSec = (gcMs - g0) / 1000.0
         val dps = nDocs / sec
@@ -118,7 +138,7 @@ object ScalingBench {
     }
     val bests = best.toSeq.sortBy(_._1)
       .map { case (c, d) => s""""docs_per_sec_$c":${f"$d%.1f"}""" }
-    println((bests ++ pairs ++ Seq(s""""docs":$nDocs"""))
+    println((bests ++ pairs ++ Seq(s""""docs":$nDocs""", s""""mode":"$mode""""))
       .mkString("{", ",", "}"))
   }
 }

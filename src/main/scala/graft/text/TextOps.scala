@@ -176,8 +176,14 @@ object TextOps {
     * the estimate). Disabled by default (exact semantics, oracle-matched);
     * set a few hundred for corpus-scale runs. */
   def jaccardPairs(docs: DataFrame, maxDf: Long = 0L): DataFrame = {
+    // gram strings never leave the projection: every downstream join /
+    // aggregation keys on the 8-byte xxhash64 instead (same convention
+    // as crossDupCoverage — at web scale the self-join shuffle carries
+    // (doc_id, hash) rows, ~3× narrower than shingle text)
     val all = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-      .select(col("doc_id"), explode(array_distinct(gramsOf(col("w"), 3))).as("s"))
+      .select(col("doc_id"),
+        explode(array_distinct(gramsOf(col("w"), 3))).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("s"))
     val sh =
       if (maxDf <= 0) all
       else {
