@@ -34,7 +34,12 @@ object TierJob {
     val tiers = TextOps.tierAssign(
       ex.select(col("url").as("doc_id"), col("text")))
       .withColumnRenamed("doc_id", "url")
-    ex.join(tiers, "url")
+    // shuffle-hash-join hint on the NARROW side: the default sort-merge
+    // join would sort the wide text-payload rows after shuffling them —
+    // pure extra bandwidth on the one unavoidable payload move. SHJ
+    // builds the hash table from the 3-column tier table and streams the
+    // payload side unsorted into the partitioned writer.
+    ex.join(tiers.hint("shuffle_hash"), "url")
       .write.mode(SaveMode.Overwrite)
       .partitionBy("tier").parquet(s"$outPath/tiered")
 

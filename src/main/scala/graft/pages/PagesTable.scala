@@ -21,6 +21,8 @@ object PagesTable {
   def rowsFor(sfName: String): Long = sfName match {
     case "sf0.001" => 200L
     case "sf0.01"  => 2000L
+    case "sf0.03"  => 30000L // tier-scaling harness scale: work-dominated
+                             // at every level, narrow level still finishes
     case "sf0.1"   => 100000L
     case "sf0.3"   => 300000L
     case _         => 2000L
