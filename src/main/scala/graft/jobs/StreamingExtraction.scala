@@ -91,6 +91,23 @@ object StreamingExtraction {
       .withWatermark("warc_ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** Streaming incremental ingest dedup — the streaming analogue of the
+    * batch `t23_ingest_dedup`: pages deduped first WITHIN the stream
+    * (watermark-bounded first-seen state, as [[dedupedPages]]) and then
+    * AGAINST the committed corpus via a stream-static left-anti join on
+    * the content hash.
+    *
+    * Scale shape: the static side is a hash-only projection of the
+    * committed table (column pruning reaches its scan; no text bytes
+    * load), re-read per micro-batch by the stream-static join — which is
+    * exactly right for a corpus that grows between batches: each batch
+    * sees the freshest committed set with no state to migrate. */
+  def ingestDedupedPages(pages: DataFrame, committed: DataFrame,
+                         watermark: String = "2 hours"): DataFrame =
+    dedupedPages(pages, watermark)
+      .join(committed.select(md5(col("text")).as("content_hash")).distinct(),
+        Seq("content_hash"), "left_anti")
+
   /** Streaming LSH near-dup candidates — the streaming analogue of the
     * batch banded MinHash join (`t11`): each incoming page's 8-slot
     * MinHash signature ([[graft.text.Minhash]], the same convention as

@@ -211,4 +211,36 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!rows.exists(_.contains("mirror=1")), "mirrored duplicates must be dropped")
     q.stop()
   }
+
+  test("streaming ingest dedup: committed corpus excluded via stream-static anti-join") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // committed corpus: pages 0..9 (static parquet-style DataFrame)
+    val committed = graft.pages.PageGen.pages(42L, 0, 10).toSeq.toDF()
+
+    val source = MemoryStream[graft.pages.PageRow]
+    val q = StreamingExtraction.ingestDedupedPages(source.toDF(), committed,
+        watermark = "1 hour")
+      .select("url")
+      .writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").start()
+
+    // batch: 5 re-crawls of committed content (new urls, same text),
+    // 5 within-batch duplicate pairs, 5 genuinely new pages
+    val recrawl = graft.pages.PageGen.pages(42L, 0, 5)
+      .map(p => p.copy(url = p.url + "?recrawl=1")).toSeq
+    val fresh = graft.pages.PageGen.pages(42L, 10, 15).toSeq
+    val freshDup = graft.pages.PageGen.pages(42L, 10, 15)
+      .map(p => p.copy(url = p.url + "?mirror=1")).toSeq
+    source.addData(recrawl ++ fresh ++ freshDup: _*)
+    q.processAllAvailable()
+    val urls = spark.sql("SELECT url FROM ingest_out").as[String].collect()
+    assert(urls.length == 5, s"only the 5 fresh contents may commit, got ${urls.toSeq}")
+    assert(!urls.exists(u => u.contains("recrawl=1")),
+      "content already in the committed corpus must be dropped")
+    q.stop()
+  }
 }
