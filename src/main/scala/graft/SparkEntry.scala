@@ -269,6 +269,9 @@ object SparkEntry {
     "t24_tier_mix" -> ((s, d) =>
       TextOps.tierMix(TextOps.tierAssign(docs(s, d)),
         Map(0 -> 0, 1 -> 1000, 2 -> 5000, 3 -> 10000))),
+    // sequence-packing assignment: (pack_group, bin, token offset) per
+    // doc for fixed-capacity training sequences
+    "t25_pack" -> ((s, d) => TextOps.packAssign(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -854,6 +857,20 @@ object SparkEntry {
              WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 <
                CASE tier WHEN 0 THEN 0 WHEN 1 THEN 1000
                          WHEN 2 THEN 5000 ELSE 10000 END"""),
+      "t25_pack" ->
+        (s"""WITH base AS (
+              SELECT doc_id,
+                ${h60("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS pack_group,
+                CAST(length($tok) AS BIGINT) AS n_tokens
+              FROM documents),
+            s AS (SELECT *,
+              sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS end_offset
+              FROM base)
+            SELECT doc_id, pack_group, n_tokens,
+              CAST(end_offset - n_tokens AS BIGINT) AS tok_offset,
+              CAST((end_offset - n_tokens) // 2048 AS BIGINT) AS bin
+            FROM s"""),
       "s1_script" -> {
         val re2 = Map(
           "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",

@@ -540,4 +540,33 @@ object TextOps {
         md5Hash60(concat(lit(s"$seed:"), col("doc_id"))) % 10000 < rate)
       .select(col("doc_id"), col("tier"))
   }
+
+  /** Sequence-packing assignment: place every document at a byte-exact
+    * token offset inside a (pack_group, bin) so a training reader can
+    * assemble fixed-capacity sequences (documents straddling a boundary
+    * spill into the next bin — the standard concat-then-chunk packing).
+    *
+    * Scale shape: a single global running sum would serialise the corpus
+    * through one partition, so documents first hash into `nGroups`
+    * independent pack groups (deterministic md5 bucket — reproducible,
+    * layout-independent) and the running sum is a window per group,
+    * ordered by doc_id: each group is one shuffle partition's worth of
+    * window work and groups scale out linearly. At 10^12 docs pick
+    * nGroups ≈ corpus tokens / (bins-per-task × capacity); every group
+    * packs independently, so the only coordination is the hash. */
+  def packAssign(docs: DataFrame, capacity: Int = 2048,
+                 nGroups: Int = 8, seed: String = "pack"): DataFrame = {
+    val grp = (md5Hash60(concat(lit(s"$seed:"), col("doc_id"))) % nGroups)
+      .as("pack_group")
+    val base = docs.select(col("doc_id"), grp,
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("pack_group").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("end_offset", sum(col("n_tokens")).over(w))
+      .withColumn("tok_offset", col("end_offset") - col("n_tokens"))
+      .select(col("doc_id"), col("pack_group"), col("n_tokens"),
+        col("tok_offset"),
+        floor(col("tok_offset") / capacity).as("bin"))
+  }
 }

@@ -356,4 +356,13 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.count(_._2 == 2) != mid || c.filter(_._2 == 2).toSeq != a.filter(_._2 == 2).toSeq,
       "a different seed must draw a different mid-tier sample")
   }
+
+  test("packAssign: doc_id-ordered running offsets, straddle-aware bins") {
+    val d = docs(1L -> "a b c", 2L -> "d e", 3L -> "f g h i")
+    val r = TextOps.packAssign(d, capacity = 4, nGroups = 1).collect()
+      .map(x => x.getLong(0) -> (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) == ((3L, 0L, 0L)), s"doc1: ${r(1L)}")
+    assert(r(2L) == ((2L, 3L, 0L)), s"doc2 starts at offset 3, still bin 0: ${r(2L)}")
+    assert(r(3L) == ((4L, 5L, 1L)), s"doc3 spills into bin 1: ${r(3L)}")
+  }
 }
