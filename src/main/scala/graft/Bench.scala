@@ -145,20 +145,6 @@ object Bench {
     results += "extract" -> extractSec
     val docsPerSec = nDocs / extractSec
 
-    // tier curation end-to-end: one (untimed) extraction materializes the
-    // corpus, then the timed TierJob pass — corpus tier rules + the
-    // tier-partitioned rewrite — runs over it, the production shape of
-    // the pipeline's second stage
-    locally {
-      val outPath = java.nio.file.Files.createTempDirectory("graft_bench_tier").toString
-      ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "benchtier"))
-      val (_, sec) = time {
-        TierJob.run(spark, s"$outPath/extracted", outPath).collect()
-      }
-      results += "tier_job" -> sec
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
-    }
-
     // headline scale-path queries
     val headline = Seq(
       "t5_minhash", "t6_simhash", "t7_jaccard_pairs", "t11_lsh_pairs",
@@ -210,14 +196,33 @@ object Bench {
       spark.catalog.clearCache()
     }
 
-    val total = results.values.sum // headline total (excludes baselines)
-
-    // O(n²) baseline, reported separately
+    // O(n²) baseline, reported separately — runs BEFORE the tier job so
+    // it is the host-state control for the state the headline queries
+    // actually measured in
     val (_, e1Sec) = time {
       SparkEntry.queries("e1_knn_exact")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
     }
     extras += "baseline_e1_knn_exact" -> f"$e1Sec%.3f"
+
+    // tier curation end-to-end: one (untimed) extraction materializes the
+    // corpus, then the timed TierJob pass — corpus tier rules + the
+    // tier-partitioned rewrite. Deliberately LAST: its ~4 min of
+    // sustained 32-thread load triggers the host's multi-core cap
+    // (BASELINE.md), and when it ran mid-bench every later query
+    // inherited a throttled host (t5 measured 20.7 s against its
+    // 4.8-6.5 s band in the run that motivated this ordering).
+    locally {
+      val outPath = java.nio.file.Files.createTempDirectory("graft_bench_tier").toString
+      ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "benchtier"))
+      val (_, sec) = time {
+        TierJob.run(spark, s"$outPath/extracted", outPath).collect()
+      }
+      results += "tier_job" -> sec
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
+    }
+
+    val total = results.values.sum // headline total (excludes baselines)
 
     // IVF recall@5 vs exact
     locally {

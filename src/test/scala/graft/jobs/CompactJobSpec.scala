@@ -1,0 +1,58 @@
+package graft.jobs
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+import graft.pages.PagesTable
+
+class CompactJobSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+  private val tmp = java.nio.file.Files.createTempDirectory("graftcompact").toString
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("compaction: fewer files, identical rows, url-clustered footer stats") {
+    // simulate many small ingest commits: 20 single-partition appends
+    val table = s"$tmp/table"
+    val pages = PagesTable.generate(spark, seed = 7L, n = 200, partitions = 1)
+    for (i <- 0 until 20)
+      pages.filter(pmod(xxhash64(col("url")), lit(20)) === i)
+        .coalesce(1).write.mode("append").parquet(table)
+
+    val stats = CompactJob.run(spark, table, s"$tmp/compact",
+        targetFileBytes = 1L << 20).collect().head
+    val (before, after, rows) = (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    assert(before >= 15, s"ingest should leave ~20 small files, got $before")
+    assert(after < before, s"compaction must reduce file count: $before -> $after")
+    assert(rows == 200, "no rows lost or duplicated")
+
+    val a = spark.read.parquet(table).select("url", "html")
+    val b = spark.read.parquet(s"$tmp/compact").select("url", "html")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "content identical")
+
+    // url-range clustering: with >1 output file, per-file url ranges are
+    // disjoint (this is what makes footer min/max stats selective for the
+    // resume anti-join scan)
+    if (after > 1) {
+      val ranges = spark.read.parquet(s"$tmp/compact")
+        .select(col("url"), input_file_name().as("f"))
+        .groupBy("f").agg(min("url").as("lo"), max("url").as("hi"))
+        .collect().map(r => (r.getString(1), r.getString(2))).sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi1), (lo2, _)) =>
+          assert(hi1 <= lo2, s"file url ranges must not interleave: $hi1 vs $lo2")
+        case _ =>
+      }
+    }
+  }
+}
