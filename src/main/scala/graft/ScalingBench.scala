@@ -66,7 +66,15 @@ object ScalingBench {
       if (mode == "tier") {
         val base = scratch.getOrElse(
           java.nio.file.Files.createTempDirectory("scaletier").toString)
-        val out = new java.io.File(base, "tier-input"); out.mkdirs()
+        // per-sfName dir, wiped first: a leftover corpus from a previous
+        // invocation would be resumed onto (union corpus), silently
+        // inflating every timed tier pass against this run's nDocs
+        val out = new java.io.File(base, s"tier-input-$sfName")
+        def rm0(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm0)
+          f.delete()
+        }
+        rm0(out); out.mkdirs()
         ExtractionJob.run(boot,
           JobConfig(pagesPath, out.getAbsolutePath, runId = "tierinput"))
         Some(s"${out.getAbsolutePath}/extracted")

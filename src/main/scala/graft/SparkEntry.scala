@@ -413,7 +413,11 @@ object SparkEntry {
     // expectation sidecars for the derived-box-set queries, produced by
     // executing the reference's own merge/column algorithms over the
     // span geometry (tools/gen_layout_sidecars.py; committed)
-    val sidecars = "/root/repo/src/test/resources/golden/sidecars"
+    // derived from the working directory (the driver's DuckDB runs from
+    // the repo root), not a hardcoded absolute path — a checkout at any
+    // other location still resolves its own committed sidecars
+    val sidecars = new java.io.File("src/test/resources/golden/sidecars")
+      .getAbsolutePath
     val tok = "string_split_regex(trim(text), '\\s+')"
     val shingles =
       s"""(SELECT doc_id, unnest(
@@ -1045,10 +1049,18 @@ object SparkEntry {
                                         coarse.ccell ASC) AS rnc
                       FROM v CROSS JOIN coarse)
                     WHERE rnc <= 2),
-             fine AS (SELECT ca.ccell AS fccell, ca.vec_id AS fcell, ca.e AS fc
-                      FROM ca, par
-                      WHERE ca.rnc = 1
-                        AND ${h60("'f:' || CAST(ca.vec_id AS VARCHAR)")} % fstride = 0),
+             fine0 AS (SELECT ca.ccell AS fccell, ca.vec_id AS fcell, ca.e AS fc
+                       FROM ca, par
+                       WHERE ca.rnc = 1
+                         AND ${h60("'f:' || CAST(ca.vec_id AS VARCHAR)")} % fstride = 0),
+             anchor AS (SELECT ca.ccell AS fccell, ca.vec_id AS fcell, ca.e AS fc
+                        FROM ca JOIN (SELECT ccell, min(vec_id) AS mv FROM ca
+                                      WHERE rnc = 1 GROUP BY ccell) m
+                          ON ca.ccell = m.ccell AND ca.vec_id = m.mv
+                        WHERE ca.rnc = 1),
+             fine AS (SELECT fccell, fcell, fc FROM fine0
+                      UNION
+                      SELECT fccell, fcell, fc FROM anchor),
              assign AS (SELECT vec_id, cell, rn, e FROM (
                           SELECT ca.vec_id, fine.fcell AS cell, ca.e,
                                  row_number() OVER (PARTITION BY ca.vec_id

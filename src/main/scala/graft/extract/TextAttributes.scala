@@ -87,7 +87,10 @@ object TextAttributes {
         if (k == "font-size" && v.length > 2 &&
             v.toLowerCase.endsWith("px")) {
           val num = v.substring(0, v.length - 2).trim
-          if (num.nonEmpty && num.forall(_.isDigit)) size = num.toInt
+          // toIntOption, not toInt: a hostile digit run past Int.MaxValue
+          // ("font-size:99999999999px") must not throw out of the parser
+          if (num.nonEmpty && num.forall(_.isDigit))
+            size = num.toIntOption.getOrElse(0)
         } else if (k == "color" && v.nonEmpty) color = v
       }
       from = end + 1

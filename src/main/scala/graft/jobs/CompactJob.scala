@@ -27,12 +27,25 @@ object CompactJob {
   def run(spark: SparkSession, tablePath: String, outPath: String,
           targetFileBytes: Long = 128L << 20): DataFrame = {
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(tablePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(new org.apache.hadoop.fs.Path(tablePath))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    val bytes = parts.map(_.getLen).sum
-    val filesBefore = parts.length.toLong
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a partitioned table must be compacted per partition DIR — reading
+    // the root would flatten the partition column into data and rewrite
+    // away the directory pruning; refuse instead of silently doing that
+    val entries = fs.listStatus(root)
+    val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+    require(partDirs.isEmpty,
+      s"$tablePath is partitioned (${partDirs.map(_.getPath.getName).mkString(", ")}); " +
+        "compact each partition directory individually")
+    // size the rewrite from a RECURSIVE listing (nested non-partition
+    // layouts still read recursively via spark.read.parquet)
+    var bytes = 0L
+    var filesBefore = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.getPath.getName.endsWith(".parquet")) { bytes += s.getLen; filesBefore += 1 }
+    }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
 
     val df = spark.read.parquet(tablePath)

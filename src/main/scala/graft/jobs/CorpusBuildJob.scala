@@ -31,11 +31,7 @@ object CorpusBuildJob {
           seed: String = "mix", runId: String = "corpus"): DataFrame = {
     ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = runId))
 
-    val df = spark.read.parquet(s"$outPath/extracted")
-    val ex =
-      if (df.columns.contains("failed"))
-        df.filter(!coalesce(col("failed").cast("boolean"), lit(false))).drop("failed")
-      else df
+    val ex = ExtractionJob.readExtracted(spark, s"$outPath/extracted")
 
     val tiers = TextOps.tierAssign(
         ex.select(col("url").as("doc_id"), col("text")))

@@ -79,11 +79,45 @@ object ExtractionJob {
     * table partitions on `failed`, so this reads only the success
     * partition (partition pruning; the failure partition never mixes in,
     * even right after a retry run appended fresh rows). */
-  def readExtracted(spark: SparkSession, cfg: JobConfig): DataFrame = {
-    val df = spark.read.parquet(s"${cfg.outPath}/extracted")
+  def readExtracted(spark: SparkSession, cfg: JobConfig): DataFrame =
+    readExtracted(spark, s"${cfg.outPath}/extracted")
+
+  /** Same, addressed by the extracted table's own path (the downstream
+    * curation jobs hold the path, not a JobConfig). */
+  def readExtracted(spark: SparkSession, extractedRoot: String): DataFrame = {
+    val df = spark.read.parquet(extractedRoot)
     if (df.columns.contains("failed"))
-      df.filter(!coalesce(col("failed").cast("boolean"), lit(false)))
+      df.filter(!coalesce(col("failed").cast("boolean"), lit(false))).drop("failed")
     else df
+  }
+
+  /** One-time migration of a pre-upgrade FLAT extracted table (top-level
+    * part files; `failed` a data column, or absent = all committed) into
+    * the `failed`-partitioned layout that resumed runs append to.
+    * Crash-safe: the migrated copy is fully written (with `_SUCCESS`)
+    * under a sibling temp dir BEFORE the old root is deleted and the
+    * temp renamed in; if a crash lands between delete and rename,
+    * re-running finds the completed temp and just finishes the rename. */
+  def migrateLayout(spark: SparkSession, outPath: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(s"$outPath/extracted")
+    val tmp = new org.apache.hadoop.fs.Path(s"$outPath/.extracted_migrating")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def complete(p: org.apache.hadoop.fs.Path) =
+      fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!fs.exists(root) && complete(tmp)) { fs.rename(tmp, root); return }
+    val df = spark.read.parquet(root.toString)
+    val flat = fs.listStatus(root)
+      .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    if (!flat) return // already partitioned (or empty) — nothing to do
+    val withFailed =
+      if (df.columns.contains("failed"))
+        df.withColumn("failed",
+          coalesce(col("failed").cast("boolean"), lit(false)))
+      else df.withColumn("failed", lit(false))
+    withFailed.write.mode(SaveMode.Overwrite).partitionBy("failed")
+      .parquet(tmp.toString)
+    fs.delete(root, true)
+    fs.rename(tmp, root)
   }
 
   /** The work set: pages minus committed (resume anti-join), salted.
@@ -229,9 +263,21 @@ object ExtractionJob {
     // `failed` as a partition column: the (tiny) failure partition stays
     // physically separate from the success rows, so readers prune it and
     // a retry run can compact it without touching the 10^12-row success
-    // side (see below).
+    // side (see below). A pre-upgrade FLAT table (top-level part files,
+    // `failed` as a data column or absent) must NOT receive a partitioned
+    // append: Spark's partition discovery rejects the mixed directory
+    // ("conflicting directory structures") and the resumable table would
+    // be bricked — refuse up front and point at the one-time migration.
+    val extractedRoot = s"${cfg.outPath}/extracted"
+    val rootP = new org.apache.hadoop.fs.Path(extractedRoot)
+    val rootFs0 = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (rootFs0.exists(rootP) && rootFs0.listStatus(rootP)
+          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
+      throw new IllegalStateException(
+        s"$extractedRoot uses the pre-upgrade flat layout; run " +
+          "ExtractionJob.migrateLayout(spark, outPath) once before resuming")
     extracted.write.mode(SaveMode.Append)
-      .partitionBy("failed").parquet(s"${cfg.outPath}/extracted")
+      .partitionBy("failed").parquet(extractedRoot)
 
     // retry compaction: a retried url that succeeded this run now has a
     // fresh failed=false row, and a url that failed again has a second

@@ -97,16 +97,23 @@ object StreamingExtraction {
     * AGAINST the committed corpus via a stream-static left-anti join on
     * the content hash.
     *
-    * Scale shape: the static side is a hash-only projection of the
-    * committed table (column pruning reaches its scan; no text bytes
-    * load), re-read per micro-batch by the stream-static join — which is
-    * exactly right for a corpus that grows between batches: each batch
-    * sees the freshest committed set with no state to migrate. */
+    * Scale shape: the static side reduces to one hash column — the
+    * stored `content_hash` when the committed table carries one (the
+    * layout [[dedupedPages]]'s own sink writes; then no text bytes are
+    * read at all), else md5(text) computed in the scan projection. The
+    * static plan re-executes per micro-batch, which is the point for a
+    * corpus that grows between batches (each batch sees the freshest
+    * committed set, no state to migrate) — production keeps that
+    * re-scan cheap by committing the hash column. */
   def ingestDedupedPages(pages: DataFrame, committed: DataFrame,
-                         watermark: String = "2 hours"): DataFrame =
+                         watermark: String = "2 hours"): DataFrame = {
+    val committedHashes =
+      if (committed.columns.contains("content_hash"))
+        committed.select(col("content_hash"))
+      else committed.select(md5(col("text")).as("content_hash"))
     dedupedPages(pages, watermark)
-      .join(committed.select(md5(col("text")).as("content_hash")).distinct(),
-        Seq("content_hash"), "left_anti")
+      .join(committedHashes.distinct(), Seq("content_hash"), "left_anti")
+  }
 
   /** Streaming LSH near-dup candidates — the streaming analogue of the
     * batch banded MinHash join (`t11`): each incoming page's 8-slot

@@ -26,11 +26,7 @@ object TierJob {
     * failed rows carry no text) into `outPath/tiered`, partitioned by
     * tier. Returns the per-tier document counts (tier, docs). */
   def run(spark: SparkSession, extractedRoot: String, outPath: String): DataFrame = {
-    val df = spark.read.parquet(extractedRoot)
-    val ex =
-      if (df.columns.contains("failed"))
-        df.filter(!coalesce(col("failed").cast("boolean"), lit(false))).drop("failed")
-      else df
+    val ex = ExtractionJob.readExtracted(spark, extractedRoot)
     val tiers = TextOps.tierAssign(
       ex.select(col("url").as("doc_id"), col("text")))
       .withColumnRenamed("doc_id", "url")

@@ -132,11 +132,24 @@ object Ann {
       .filter(col("rnc") <= nprobeCoarse)
       .select(col("vec_id"), col("e"), col("ccell"), col("rnc"), col("fstride"))
     // fine centroids: hash-sampled vectors, each carrying its HOME coarse
-    // cell (rnc = 1) — the per-cell codebook the equi-join distributes
-    val fine = coarseAssign.filter(col("rnc") === 1)
+    // cell (rnc = 1) — the per-cell codebook the equi-join distributes.
+    // Every non-empty coarse cell ALSO contributes its min-vec_id home
+    // member as an anchor centroid: a small cell whose members all miss
+    // the stride filter would otherwise have an empty codebook, and the
+    // inner fine-assignment join below would silently DROP every vector
+    // whose probed coarse cells are all such cells (violating the
+    // same-shape-as-ivfAssign contract). The anchor is one narrow
+    // groupBy(min) + self-join — no new wide work.
+    val home = coarseAssign.filter(col("rnc") === 1)
+    val sampled = home
       .filter(pmod(graft.text.TextOps.md5Hash60(
         concat(lit("f:"), col("vec_id").cast("string"))), col("fstride")) === 0)
       .select(col("ccell").as("fccell"), col("vec_id").as("fcell"), col("e").as("fc"))
+    val anchors = home.groupBy(col("ccell")).agg(min(col("vec_id")).as("fcell"))
+      .join(home.select(col("ccell"), col("vec_id").as("fcell"), col("e").as("fc")),
+        Seq("ccell", "fcell"))
+      .select(col("ccell").as("fccell"), col("fcell"), col("fc"))
+    val fine = sampled.union(anchors).dropDuplicates("fccell", "fcell")
     val wF = Window.partitionBy(col("vec_id")).orderBy(col("fd").asc, col("fcell").asc)
     coarseAssign
       .join(fine, col("ccell") === col("fccell"))

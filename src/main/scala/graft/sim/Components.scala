@@ -53,11 +53,13 @@ object Components {
     while (changed > 0 && round < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("v"))
         .groupBy(col("src").as("v2")).agg(min(col("label")).as("nbr"))
+      // the previous label rides along as a third column so convergence
+      // is a filter-count over THIS round's persisted result — not a
+      // second full join of the old and new label tables per round
       val next = reroot(labels.join(nbrMin, labels("v") === col("v2"), "left")
-        .select(col("v"), least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
-      // convergence probe: one tiny aggregate over the joined old/new
-      changed = next.as("n").join(labels.as("o"), "v")
-        .filter(col("n.label") =!= col("o.label")).count()
+        .select(col("v"), col("label").as("prev"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label")))
+      changed = next.filter(col("label") =!= col("prev")).count()
       labels.unpersist()
       labels = next
       round += 1

@@ -507,19 +507,25 @@ object TextOps {
     * steady-state shape of corpus growth: every nightly batch dedups
     * against the full committed table without ever rewriting it.
     *
-    * Scale shape: the committed side is read as a one-column hash
-    * projection (column pruning reaches the scan — no text bytes move),
-    * and both legs are equi-joins on the hash, so a committed table
-    * bucketed by `h` at write time makes the anti-join shuffle-free on
+    * Scale shape: the committed side reduces to one hash column before
+    * anything shuffles — the stored `content_hash` when the table
+    * carries one (then column pruning means no text bytes are even
+    * READ), else md5(text) computed in the scan projection (text is
+    * read once, hashed map-side, and only the 16-byte hash moves).
+    * Both legs are equi-joins on the hash, so a committed table
+    * bucketed by hash at write time makes the anti-join shuffle-free on
     * the big side; Spark's runtime bloom-filter injection additionally
     * prunes the batch side before the shuffle when the batch is the
-    * smaller leg. Nothing here is proportional to corpus text size. */
+    * smaller leg. */
   def ingestDedup(newDocs: DataFrame, committed: DataFrame): DataFrame = {
+    val committedHashes =
+      if (committed.columns.contains("content_hash"))
+        committed.select(col("content_hash").as("h"))
+      else committed.select(md5(col("text")).as("h"))
     val keepWithin = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
     keepWithin
-      .join(committed.select(md5(col("text")).as("h")).distinct(),
-        Seq("h"), "left_anti")
+      .join(committedHashes.distinct(), Seq("h"), "left_anti")
       .select("doc_id")
   }
 
@@ -541,10 +547,14 @@ object TextOps {
       .select(col("doc_id"), col("tier"))
   }
 
-  /** Sequence-packing assignment: place every document at a byte-exact
-    * token offset inside a (pack_group, bin) so a training reader can
-    * assemble fixed-capacity sequences (documents straddling a boundary
-    * spill into the next bin — the standard concat-then-chunk packing).
+  /** Sequence-packing assignment: place every document at an exact token
+    * offset in its pack group's concatenated token stream — the standard
+    * concat-then-chunk packing, where the reader cuts the stream every
+    * `capacity` tokens and a document MAY straddle a chunk boundary.
+    * `bin` = the chunk containing the document's START offset, i.e.
+    * where a reader assembling chunk k begins looking; `tok_offset` is
+    * the authoritative position (a straddling doc continues into bin+1,
+    * it does not spill wholesale).
     *
     * Scale shape: a single global running sum would serialise the corpus
     * through one partition, so documents first hash into `nGroups`

@@ -142,6 +142,42 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rows with no failed column must not be re-extracted (they are committed)")
   }
 
+  test("flat pre-upgrade layout: run refuses (no mixed dir), migrateLayout repairs, resume continues") {
+    val base = s"$tmp/flatmigrate"
+    PagesTable.generate(spark, seed = 17L, n = 20, partitions = 2)
+      .write.parquet(s"$base/pages")
+    // build a real extracted table, then flatten it to the pre-upgrade
+    // layout: top-level part files, failed as a DATA column
+    ExtractionJob.run(spark, JobConfig(s"$base/pages", s"$base/out", runId = "m0"))
+    val flat = spark.read.parquet(s"$base/out/extracted")
+    flat.write.parquet(s"$base/out/.flat_tmp")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$base/out/extracted"))
+    new java.io.File(s"$base/out/.flat_tmp")
+      .renameTo(new java.io.File(s"$base/out/extracted"))
+    assert(new java.io.File(s"$base/out/extracted").listFiles()
+      .exists(_.getName.endsWith(".parquet")), "flat layout established")
+
+    // a resumed run over MORE pages must refuse rather than brick the dir
+    PagesTable.generate(spark, seed = 17L, n = 30, partitions = 2)
+      .write.mode("overwrite").parquet(s"$base/pages")
+    val e = intercept[IllegalStateException] {
+      ExtractionJob.run(spark, JobConfig(s"$base/pages", s"$base/out", runId = "m1"))
+    }
+    assert(e.getMessage.contains("migrateLayout"))
+
+    ExtractionJob.migrateLayout(spark, s"$base/out")
+    assert(new java.io.File(s"$base/out/extracted/failed=false").exists(),
+      "migration produced the partitioned layout")
+    val n = ExtractionJob.run(spark, JobConfig(s"$base/pages", s"$base/out", runId = "m2"))
+    assert(n == 30, "cumulative successes after resuming onto the migrated table")
+    val urls = ExtractionJob.readExtracted(spark,
+      JobConfig(s"$base/pages", s"$base/out")).select("url").distinct().count()
+    assert(urls == 30, "all 20 migrated + 10 new urls committed exactly once")
+  }
+
   test("resume probe recognises the partitioned extracted layout") {
     val base = s"$tmp/partprobe"
     PagesTable.generate(spark, seed = 13L, n = 10, partitions = 2)
