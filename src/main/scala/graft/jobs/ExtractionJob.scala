@@ -91,6 +91,46 @@ object ExtractionJob {
     else df
   }
 
+  /** The crash-recoverable tail of a retry compaction: the completed tmp
+    * dir (still-failing rows, `_SUCCESS` present) is authoritative for
+    * the failure partition — replace the partition with it. Idempotent:
+    * re-running after a crash at ANY point repeats the delete + append
+    * and converges to the same state. */
+  private def completeFailedCompaction(spark: SparkSession, outPath: String,
+                                       tmpDir: String): Unit = {
+    val root = s"$outPath/extracted"
+    val failPart = new org.apache.hadoop.fs.Path(s"$root/failed=true")
+    val fs = failPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(failPart, true)
+    val compacted = spark.read.parquet(tmpDir)
+    if (!compacted.isEmpty)
+      compacted.withColumn("failed", lit(true))
+        .write.mode(SaveMode.Append).partitionBy("failed").parquet(root)
+    if (!fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true))
+      throw new java.io.IOException(s"could not remove compaction tmp $tmpDir")
+  }
+
+  /** Startup recovery: finish any retry compaction a previous run left
+    * half-done. A `.failed_compact_*` dir WITH `_SUCCESS` means the
+    * swap may have been interrupted — complete it (idempotent); one
+    * without `_SUCCESS` is an aborted write whose originals are still in
+    * place — just remove the junk. */
+  private def recoverInterruptedCompaction(spark: SparkSession,
+                                           outPath: String): Unit = {
+    val out = new org.apache.hadoop.fs.Path(outPath)
+    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(out)) return
+    fs.listStatus(out).foreach { s =>
+      val name = s.getPath.getName
+      if (s.isDirectory && name.startsWith(".failed_compact_")) {
+        if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
+          completeFailedCompaction(spark, outPath, s.getPath.toString)
+        else if (!fs.delete(s.getPath, true))
+          throw new java.io.IOException(s"could not remove aborted tmp ${s.getPath}")
+      }
+    }
+  }
+
   /** One-time migration of a pre-upgrade FLAT extracted table (top-level
     * part files; `failed` a data column, or absent = all committed) into
     * the `failed`-partitioned layout that resumed runs append to.
@@ -104,7 +144,11 @@ object ExtractionJob {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def complete(p: org.apache.hadoop.fs.Path) =
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    if (!fs.exists(root) && complete(tmp)) { fs.rename(tmp, root); return }
+    if (!fs.exists(root) && complete(tmp)) {
+      if (!fs.rename(tmp, root))
+        throw new java.io.IOException(s"migration recovery rename $tmp -> $root failed")
+      return
+    }
     val df = spark.read.parquet(root.toString)
     val flat = fs.listStatus(root)
       .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -116,8 +160,14 @@ object ExtractionJob {
       else df.withColumn("failed", lit(false))
     withFailed.write.mode(SaveMode.Overwrite).partitionBy("failed")
       .parquet(tmp.toString)
-    fs.delete(root, true)
-    fs.rename(tmp, root)
+    // hadoop FileSystems report most failures as `false`, not exceptions
+    // — an unchecked false rename here would leave NO table and no error
+    if (!fs.delete(root, true))
+      throw new java.io.IOException(s"migration could not remove old layout $root")
+    if (!fs.rename(tmp, root))
+      throw new java.io.IOException(
+        s"migration rename $tmp -> $root failed; completed copy remains at $tmp " +
+          "(re-running migrateLayout finishes the rename)")
   }
 
   /** The work set: pages minus committed (resume anti-join), salted.
@@ -186,6 +236,11 @@ object ExtractionJob {
     * 10^12 rows that rescan would dominate the incremental run itself. */
   def run(spark: SparkSession, cfg: JobConfig): Long = {
     import spark.implicits._
+    // a crashed retry compaction must be completed BEFORE the committed
+    // set is read: its tmp dir is authoritative for the failure partition
+    // (see completeFailedCompaction) and a half-done compaction would
+    // otherwise let a plain resume re-attempt permanently-failing urls
+    recoverInterruptedCompaction(spark, cfg.outPath)
     val work = planWorkSet(spark, cfg)
     val runId = cfg.runId
     val rawDir = s"${cfg.outPath}/metrics_raw/$runId"
@@ -254,7 +309,12 @@ object ExtractionJob {
             val os = fs.create(tmp, true)
             try os.write(metricsJson(m, attempt).getBytes(StandardCharsets.UTF_8))
             finally os.close()
-            fs.rename(tmp, path)
+            // a false rename with the target present is a zombie twin of
+            // this attempt having already delivered the same bytes —
+            // benign; anything else must fail the task so a retry rewrites
+            if (!fs.rename(tmp, path) && !fs.exists(path))
+              throw new java.io.IOException(
+                s"metrics sidecar rename $tmp -> $path failed")
           }
         }
         }
@@ -295,17 +355,13 @@ object ExtractionJob {
           .join(all.filter(!coalesce(col("failed").cast("boolean"), lit(false)))
             .select("url"), Seq("url"), "left_anti")
           .dropDuplicates("url")
-        // materialise away from the dir being overwritten
+        // materialise away from the dir being overwritten, then swap via
+        // the crash-recoverable tail (a crash between the partition
+        // delete and the re-append is repaired by the recovery pass at
+        // the next run's start — the completed tmp dir is authoritative)
         val tmpDir = s"${cfg.outPath}/.failed_compact_$runId"
         stillFailing.write.mode(SaveMode.Overwrite).parquet(tmpDir)
-        val failPart = new org.apache.hadoop.fs.Path(s"$root/failed=true")
-        val rootFs = failPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        rootFs.delete(failPart, true)
-        val compacted = spark.read.parquet(tmpDir)
-        if (!compacted.isEmpty)
-          compacted.withColumn("failed", lit(true))
-            .write.mode(SaveMode.Append).partitionBy("failed").parquet(root)
-        rootFs.delete(new org.apache.hadoop.fs.Path(tmpDir), true)
+        completeFailedCompaction(spark, cfg.outPath, tmpDir)
       }
     }
 

@@ -165,7 +165,14 @@ object StreamingExtraction {
           }
           state.setTimeoutTimestamp(arrivals.map(_.warc_ts.getTime).max, watermark)
           val first = state.get.firstUrl
-          laters.iterator.map(r => LshCandidate(first, r.url, r.band))
+          // at-least-once sources can re-deliver rows, including the
+          // bucket's own representative: never emit the a=a self-pair
+          // (batch pair derivations enforce a < b), and dedupe repeated
+          // urls within the batch so replays don't multiply candidates
+          laters
+            .filter(_.url != first)
+            .map(r => LshCandidate(first, r.url, r.band))
+            .distinct.iterator
         }
       }
   }

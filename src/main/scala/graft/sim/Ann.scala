@@ -161,7 +161,11 @@ object Ann {
   }
 
   /** [[ivfKnn]] on the hierarchical assignment: identical per-cell join
-    * + windowed top-k, only the assignment strategy differs. */
+    * + windowed top-k, only the assignment strategy differs.
+    *
+    * NOTE: same persisted-assignment lifetime as [[ivfKnn]] — callers
+    * building many indexes in one session should
+    * `spark.catalog.clearCache()` between runs. */
   def ivfKnnHierarchical(emb: DataFrame, k: Int, coarseCells: Int = 64,
                          finePerCoarse: Int = 64, nprobeCoarse: Int = 2,
                          nprobe: Int = 4): DataFrame = {
@@ -316,7 +320,11 @@ object Ann {
     *
     * Ranking is by quantized inner product (descending, id-asc ties), the
     * max-inner-product analogue of cosine on the min-max-normalised code
-    * space — deliberately its own semantics, not a float cosine repaint. */
+    * space — deliberately its own semantics, not a float cosine repaint.
+    *
+    * NOTE: same persisted-assignment lifetime as [[ivfKnn]] — callers
+    * building many indexes in one session should
+    * `spark.catalog.clearCache()` between runs. */
   def sqKnn(emb: DataFrame, k: Int, cells: Int = 0, nprobe: Int = 4): DataFrame = {
     val assign = ivfAssign(emb, cells, nprobe)
       .select(col("vec_id"), col("cell"), col("rn"))

@@ -41,8 +41,13 @@ object Components {
     * though the data is cached. Re-rooting keeps every round's plan one
     * join deep; the persisted previous round is the only input read. */
   def components(spark: SparkSession, pairs: DataFrame, maxRounds: Int = 25): DataFrame = {
-    val edges = pairs.select(col("a").cast("long").as("src"), col("b").cast("long").as("dst"))
-      .union(pairs.select(col("b").cast("long").as("src"), col("a").cast("long").as("dst")))
+    // ids keep their natural type: min-label propagation only needs an
+    // ordering, which strings/longs both have. (An earlier cast("long")
+    // here turned url-keyed pair graphs into all-null edges — a silent
+    // everything-is-a-singleton answer; keepers' contract is "an
+    // arbitrary id universe", so no numeric assumption is allowed.)
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     def reroot(df: DataFrame): DataFrame =
       spark.createDataFrame(df.rdd, df.schema).persist(StorageLevel.MEMORY_AND_DISK)

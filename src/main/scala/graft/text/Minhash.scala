@@ -32,8 +32,9 @@ object Minhash {
   /** Word tokens, mirroring `split(trim(text), "\\s+")`. */
   def tokens(text: String): Array[String] = text.trim.split("\\s+")
 
-  /** Word 3-shingles, mirroring [[TextOps.shingles]]: positions
-    * 1..max(n−2, 1), each the space-join of up to 3 consecutive tokens. */
+  /** Word 3-shingles, mirroring the relational convention
+    * ([[TextOps.minhash]]'s gram explosion): positions 1..max(n−2, 1),
+    * each the space-join of up to 3 consecutive tokens. */
   def shingles(text: String): IndexedSeq[String] = {
     val w = tokens(text)
     val n = math.max(w.length - 2, 1)

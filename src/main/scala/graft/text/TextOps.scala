@@ -68,11 +68,6 @@ object TextOps {
     docs.groupBy(md5(concat_ws(" ", slice(tokens(col("text")), 1, 5))).as("h"))
       .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("keep_id"))
 
-  /** Word 3-shingles of the text column (convenience form for short
-    * texts/specs; hot paths go through [[explodedGrams]] so tokenization
-    * is not re-evaluated inside the position lambda). */
-  def shingles(c: Column): Column = gramsOf(tokens(c), 3)
-
   /** MinHash signature: 8 independent 60-bit min-hashes over word
     * 3-shingles (seeded by prefixing the shingle with "i:").
     *

@@ -142,19 +142,26 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(p => p.copy(url = p.url + "?mirror=1")).toSeq
     val batch2 = graft.pages.PageGen.pages(42L, 25, 33).toSeq ++ mirrors
 
+    // batch 3: an at-least-once REPLAY — batch-1 rows re-delivered
+    // verbatim, including bucket representatives themselves
+    val batch3 = graft.pages.PageGen.pages(42L, 0, 5).toSeq
+
     source.addData(batch1: _*); q.processAllAvailable()
     source.addData(batch2: _*); q.processAllAvailable()
+    source.addData(batch3: _*); q.processAllAvailable()
     q.stop()
 
     val got = spark.sql("SELECT firstUrl, url, band FROM lsh_out")
       .as[(String, String, Int)].collect().toSet
+    assert(!got.exists(c => c._1 == c._2),
+      "a re-delivered representative must never emit a self-pair")
 
     // in-memory replay of the operator's contract: per (band, bucket) key
     // the first (ts, url)-ordered arrival is the representative; every
     // later arrival emits (rep, url, band)
     val state = scala.collection.mutable.Map.empty[String, String]
     val expected = scala.collection.mutable.Set.empty[(String, String, Int)]
-    for (batch <- Seq(batch1, batch2)) {
+    for (batch <- Seq(batch1, batch2, batch3)) {
       val arrivals = batch.flatMap { p =>
         val sig = graft.text.Minhash.signature(p.text, 8)
         (0 until 2).map(b =>
@@ -166,7 +173,9 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
           case Some(_) => sorted
           case None => state(key) = sorted.head._2; sorted.tail
         }
-        laters.foreach(a => expected += ((state(key), a._2, a._3)))
+        // a re-delivered representative never pairs with itself
+        laters.filter(_._2 != state(key))
+          .foreach(a => expected += ((state(key), a._2, a._3)))
       }
     }
     assert(got == expected,

@@ -60,6 +60,19 @@ class ComponentsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("did not converge"))
   }
 
+  test("string id universe: url-keyed pairs cluster without numeric casts") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq(("u/a", "u/b"), ("u/b", "u/c")).toDF("a", "b")
+    val ids = Seq("u/a", "u/b", "u/c", "u/z").toDF("url")
+    val got = Components.keepers(spark, ids, pairs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getBoolean(2))).toMap
+    assert(got("u/a") == (("u/a", true)))
+    assert(got("u/b") == (("u/a", false)))
+    assert(got("u/c") == (("u/a", false)))
+    assert(got("u/z") == (("u/z", true)), "singleton keeps itself")
+  }
+
   test("dupComponents: singletons keep themselves; exactly one keeper per cluster") {
     val s = spark
     import s.implicits._
