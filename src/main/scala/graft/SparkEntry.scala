@@ -292,14 +292,20 @@ object SparkEntry {
     // corpus: hash every span's text slice, count distinct urls per hash,
     // report per-url duplicated-span coverage. Runs on the extractor's own
     // spans (not the sidecar), so it also re-checks extraction end-to-end.
+    // The narrow (url, sh, len) span projection is referenced TWICE (the
+    // docFreq groupBy and the join) — persisting it keeps the extraction
+    // mapPartitions subtree at ONE execution (CacheOnce self-releases
+    // after the consuming action; PlanAuditSpec pins the single-subtree
+    // shape). The production form at 10^12 rows reads the MATERIALIZED
+    // extracted table instead, exactly as jobs.TierJob does.
     "x8_span_dedup" -> ((s, d) => {
-      val sp = extractedDf(s, d)
+      val sp = graft.util.CacheOnce(extractedDf(s, d)
         .select(col("url"), col("text"), explode(col("spans")).as("s"))
         .select(col("url"),
           TextOps.md5Hash60(col("text")
             .substr(col("s.start").cast("int") + 1,
               (col("s.end") - col("s.start")).cast("int"))).as("sh"),
-          (col("s.end") - col("s.start")).as("len"))
+          (col("s.end") - col("s.start")).as("len")))
       val docFreq = sp.groupBy("sh").agg(countDistinct(col("url")).as("ndocs"))
       sp.join(docFreq, "sh")
         .groupBy("url").agg(
@@ -324,12 +330,12 @@ object SparkEntry {
     // The tier DAG consumes its input four times (signals, dup keeper,
     // gram positions, gram DF); persisting the narrow (doc_id, text)
     // projection keeps that at ONE run of the tokenizer + in-memory
-    // rescans. The production shape at 10^12 rows is jobs.TierJob, which
-    // reads the MATERIALIZED extracted table instead of caching.
+    // rescans (self-released after the consuming action). The production
+    // shape at 10^12 rows is jobs.TierJob, which reads the MATERIALIZED
+    // extracted table instead of caching.
     "x9_page_tiers" -> ((s, d) => {
-      val ex = extractedDf(s, d)
-        .select(col("url").as("doc_id"), col("text"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ex = graft.util.CacheOnce(extractedDf(s, d)
+        .select(col("url").as("doc_id"), col("text")))
       TextOps.tierAssign(ex).withColumnRenamed("doc_id", "url")
     }),
 
@@ -412,12 +418,23 @@ object SparkEntry {
     val metaG = s"read_parquet('${pagesDir}_meta/*.parquet')"
     // expectation sidecars for the derived-box-set queries, produced by
     // executing the reference's own merge/column algorithms over the
-    // span geometry (tools/gen_layout_sidecars.py; committed)
-    // derived from the working directory (the driver's DuckDB runs from
-    // the repo root), not a hardcoded absolute path — a checkout at any
-    // other location still resolves its own committed sidecars
-    val sidecars = new java.io.File("src/test/resources/golden/sidecars")
-      .getAbsolutePath
+    // span geometry (tools/gen_layout_sidecars.py; committed). The
+    // committed files are sf0.01-scale because the driver's DuckDB
+    // oracle pass runs at sf0.01 — as is this whole map (every pages
+    // path above is dirFor("sf0.01")). Resolution anchors on the repo
+    // root by walking UP from the cwd until the committed sidecar dir
+    // appears (the driver runs from the repo root; a caller invoked
+    // from a subdirectory or another checkout location still resolves
+    // its own committed sidecars), falling back to cwd-relative.
+    val sidecars = {
+      val rel = "src/test/resources/golden/sidecars"
+      def walkUp(d: java.io.File): Option[java.io.File] =
+        if (d == null) None
+        else if (new java.io.File(d, rel).isDirectory) Some(new java.io.File(d, rel))
+        else walkUp(d.getParentFile)
+      walkUp(new java.io.File(".").getCanonicalFile)
+        .getOrElse(new java.io.File(rel)).getAbsolutePath
+    }
     val tok = "string_split_regex(trim(text), '\\s+')"
     val shingles =
       s"""(SELECT doc_id, unnest(
@@ -861,12 +878,21 @@ object SparkEntry {
              WHERE ${h60("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 <
                CASE tier WHEN 0 THEN 0 WHEN 1 THEN 1000
                          WHEN 2 THEN 5000 ELSE 10000 END"""),
+      // nGroups replayed from the derivation rule (binsPerGroup=64,
+      // capacity=2048): ng = max(1, ceil(total_tokens / 131072.0)) —
+      // the sum is integer-exact and the one double division agrees
+      // bit-for-bit across engines at any realistic corpus size
       "t25_pack" ->
-        (s"""WITH base AS (
-              SELECT doc_id,
-                ${h60("'pack:' || CAST(doc_id AS VARCHAR)")} % 8 AS pack_group,
-                CAST(length($tok) AS BIGINT) AS n_tokens
+        (s"""WITH base0 AS (
+              SELECT doc_id, CAST(length($tok) AS BIGINT) AS n_tokens
               FROM documents),
+            par AS (SELECT greatest(1, CAST(ceil(sum(n_tokens) / 131072.0) AS BIGINT)) AS ng
+                    FROM base0),
+            base AS (
+              SELECT doc_id,
+                ${h60("'pack:' || CAST(doc_id AS VARCHAR)")} % ng AS pack_group,
+                n_tokens
+              FROM base0, par),
             s AS (SELECT *,
               sum(n_tokens) OVER (PARTITION BY pack_group ORDER BY doc_id
                                   ROWS UNBOUNDED PRECEDING) AS end_offset

@@ -1,13 +1,17 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.ParquetTableIO
 
 /** Small-file compaction — the table-maintenance pass a 10^12-row corpus
-  * needs between ingest batches (the plain-parquet analogue of Iceberg's
-  * `rewrite_data_files`): resumable nightly appends each commit their own
-  * task files, so a year of batches leaves the extracted table as millions
-  * of small files whose per-file open/footer cost starts to dominate scans.
+  * needs between ingest batches (the plain-parquet implementation of what
+  * Iceberg ships as the `rewrite_data_files` procedure — under an
+  * IcebergTableIO deployment this job is replaced by that one stored-
+  * procedure call, which is why it deliberately stays parquet-addressed):
+  * resumable nightly appends each commit their own task files, so a year
+  * of batches leaves the extracted table as millions of small files whose
+  * per-file open/footer cost starts to dominate scans.
   *
   * Rows are bin-packed into ~`targetFileBytes` files by RANGE-partitioning
   * on `url` rather than a round-robin repartition: the rewritten files
@@ -15,8 +19,20 @@ import org.apache.spark.sql.functions._
   * scan of committed urls — and any url-keyed lookup — can skip whole
   * files instead of reading everything (round-robin would give every file
   * the full url range and zero skipping). The range exchange samples keys
-  * and is skew-balanced by construction; cost is the one full pass any
-  * rewrite pays.
+  * and balances ROWS, not bytes — with a heavy-tailed row-width
+  * distribution (this corpus: ~2% of pages carry 10–40× the html bytes)
+  * individual output files can overshoot `targetFileBytes` by roughly the
+  * ratio of a range's mean row width to the table's; that bounds footer
+  * cost all the same (file COUNT is what compaction fixes) and keeps the
+  * one-pass shape — byte-exact packing would need a second width-aware
+  * pass that costs more than it saves.
+  *
+  * The reconciliation row count comes from an `observe` aggregate ON the
+  * rewrite pass itself (zero extra IO — the metric rides the write job);
+  * `verifyRescan = true` additionally re-reads the rewritten table and
+  * counts it independently — a real second full pass, wanted only when
+  * auditing the writer itself rather than the job (at 10^12 rows that
+  * rescan can cost as much as the rewrite).
   *
   * Operates on ONE directory (a table or a single partition dir — callers
   * iterate partition dirs so each keeps its directory pruning). Returns a
@@ -25,7 +41,8 @@ import org.apache.spark.sql.functions._
 object CompactJob {
 
   def run(spark: SparkSession, tablePath: String, outPath: String,
-          targetFileBytes: Long = 128L << 20): DataFrame = {
+          targetFileBytes: Long = 128L << 20,
+          verifyRescan: Boolean = false): DataFrame = {
     import spark.implicits._
     val root = new org.apache.hadoop.fs.Path(tablePath)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -38,7 +55,7 @@ object CompactJob {
       s"$tablePath is partitioned (${partDirs.map(_.getPath.getName).mkString(", ")}); " +
         "compact each partition directory individually")
     // size the rewrite from a RECURSIVE listing (nested non-partition
-    // layouts still read recursively via spark.read.parquet)
+    // layouts still read recursively via the parquet read)
     var bytes = 0L
     var filesBefore = 0L
     val it = fs.listFiles(root, true)
@@ -48,14 +65,28 @@ object CompactJob {
     }
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
 
-    val df = spark.read.parquet(tablePath)
-    df.repartitionByRange(nFiles, col("url"))
-      .write.mode(SaveMode.Overwrite).parquet(outPath)
+    // the row count observes the rewrite ABOVE the range exchange: the
+    // range partitioner's sampling pass re-executes the plan BELOW the
+    // exchange, so a metric attached under it would double-count
+    val obs = Observation()
+    val toWrite = ParquetTableIO.read(spark, tablePath)
+      .repartitionByRange(nFiles, col("url"))
+      .observe(obs, count(lit(1)).as("rows"))
+    ParquetTableIO.overwrite(toWrite, outPath)
 
     val out = new org.apache.hadoop.fs.Path(outPath)
     val filesAfter = fs.listStatus(out)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
-    val rows = spark.read.parquet(outPath).count()
+    val observedRows = obs.get("rows").asInstanceOf[Long]
+    val rows =
+      if (!verifyRescan) observedRows
+      else {
+        val rescanned = ParquetTableIO.read(spark, outPath).count()
+        require(rescanned == observedRows,
+          s"compaction wrote $observedRows rows but the rescan reads " +
+            s"$rescanned — writer/reader disagreement")
+        rescanned
+      }
     Seq((filesBefore, filesAfter, rows))
       .toDF("files_before", "files_after", "rows")
   }

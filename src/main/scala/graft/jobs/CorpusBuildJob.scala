@@ -1,7 +1,8 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.{ParquetTableIO, TableIO}
 import graft.text.TextOps
 
 /** The full tier-extraction pipeline as one job — the capstone the other
@@ -21,17 +22,21 @@ import graft.text.TextOps
   * no payload shuffle unless salted); tier rules are narrow equi-joins
   * ([[TextOps.tierAssign]]); mix + split are stateless projections; the
   * single wide-payload move is the final join/write, hinted
-  * `shuffle_hash` on the narrow side like [[TierJob]].
+  * `shuffle_hash` on the narrow side like [[TierJob]]. All table IO goes
+  * through the [[TableIO]] seam (parquet paths by default, catalog
+  * identifiers under an IcebergTableIO session).
   */
 object CorpusBuildJob {
 
   /** Returns per-(split, tier) doc counts of the written corpus. */
   def run(spark: SparkSession, pagesPath: String, outPath: String,
           ratesBp: Map[Int, Int] = Map(0 -> 0, 1 -> 1000, 2 -> 5000, 3 -> 10000),
-          seed: String = "mix", runId: String = "corpus"): DataFrame = {
-    ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = runId))
+          seed: String = "mix", runId: String = "corpus",
+          io: TableIO = ParquetTableIO): DataFrame = {
+    val cfg = JobConfig(pagesPath, outPath, runId = runId, io = io)
+    ExtractionJob.run(spark, cfg)
 
-    val ex = ExtractionJob.readExtracted(spark, s"$outPath/extracted")
+    val ex = ExtractionJob.readExtracted(spark, cfg)
 
     val tiers = TextOps.tierAssign(
         ex.select(col("url").as("doc_id"), col("text")))
@@ -41,11 +46,11 @@ object CorpusBuildJob {
       .join(kept, "doc_id")
       .select(col("doc_id").as("url"), col("tier"), col("split"))
 
-    ex.join(membership.hint("shuffle_hash"), "url")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("split", "tier").parquet(s"$outPath/corpus")
+    val corpusTable = io.resolve(outPath, "corpus")
+    io.overwrite(ex.join(membership.hint("shuffle_hash"), "url"),
+      corpusTable, Seq("split", "tier"))
 
-    spark.read.parquet(s"$outPath/corpus")
+    io.read(spark, corpusTable)
       .groupBy("split", "tier").agg(count(lit(1)).as("docs"))
   }
 }

@@ -12,7 +12,17 @@ import org.apache.spark.sql.SparkSession
   *     --out    <output root: writes <out>/extracted + <out>/metrics> \
   *     --salt   64        # salt buckets; 0 = no payload shuffle \
   *     --run-id <id>      # lineage tag in the metrics table \
-  *     --retry-failed true  # re-extract rows committed with failed=true
+  *     --retry-failed true  # re-extract rows committed with failed=true \
+  *     --io iceberg       # storage seam: parquet (default) | iceberg \
+  *     --scratch <fs dir> # metric-sidecar scratch (required with --io
+  *                        # iceberg, where --out is a catalog namespace)
+  *
+  * `--io iceberg` is pure configuration (SURVEY §7): --out becomes a
+  * catalog namespace (`cat.db`), the session must carry the Iceberg
+  * runtime jar + `spark.sql.catalog.cat=...` conf, and every read/write
+  * the job does goes through the same TableIO calls — resume, retry
+  * compaction and the metrics table are identical semantics on either
+  * implementation (TableIOSpec pins that).
   *
   * Master/deploy-mode come from spark-submit; the session here only sets
   * job-level SQL conf. Re-running with the same --out resumes: committed
@@ -28,6 +38,12 @@ object ExtractMain {
     val salt = opts.get("salt").map(_.toInt).getOrElse(64)
     val runId = opts.getOrElse("run-id", s"run-${java.util.UUID.randomUUID()}")
     val retryFailed = opts.get("retry-failed").exists(_.toBoolean)
+    val io: graft.io.TableIO = opts.getOrElse("io", "parquet") match {
+      case "parquet" => graft.io.ParquetTableIO
+      case "iceberg" => new graft.io.IcebergTableIO()
+      case other     => sys.error(s"--io must be parquet|iceberg, got $other")
+    }
+    val scratch = opts.getOrElse("scratch", "")
 
     val spark = SparkSession.builder()
       .appName("graft-extract")
@@ -43,7 +59,7 @@ object ExtractMain {
 
     val total = ExtractionJob.run(spark,
       JobConfig(pages, out, saltBuckets = salt, runId = runId,
-        retryFailed = retryFailed))
+        retryFailed = retryFailed, io = io, scratchPath = scratch))
     println(s"""{"run_id":"$runId","committed_docs":$total}""")
     spark.stop()
   }

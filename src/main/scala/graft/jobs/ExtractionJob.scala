@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.TaskContext
 import graft.extract.{Extracted, Extractor}
+import graft.io.{ParquetTableIO, TableIO}
 
 /** Per-partition lineage row — the metrics table of the north rule
   * (docs parsed, bytes tokenized, extraction failures), replacing the
@@ -19,13 +20,27 @@ final case class PartitionMetrics(
     extraction_failures: Long,
     wall_ms: Long)
 
+/** @param io        the storage seam (SURVEY §7): ParquetTableIO in the
+  *                   sandbox/tests, `new IcebergTableIO` + catalog conf on
+  *                   a real cluster — job code is identical either way.
+  * @param scratchPath filesystem dir for the executor-written metric
+  *                   sidecars (raw-FS scratch, deliberately NOT table IO);
+  *                   defaults to `outPath`, which is right whenever `io`
+  *                   is path-addressed. A catalog-addressed `io` must
+  *                   pass an explicit shared-FS scratch dir. */
 final case class JobConfig(
     pagesPath: String,
     outPath: String,
     saltBuckets: Int = 64,
     runId: String = "run",
     metricsEnabled: Boolean = true,
-    retryFailed: Boolean = false)
+    retryFailed: Boolean = false,
+    io: TableIO = ParquetTableIO,
+    scratchPath: String = "") {
+  def extractedTable: String = io.resolve(outPath, "extracted")
+  def metricsTable: String = io.resolve(outPath, "metrics")
+  def scratch: String = if (scratchPath.nonEmpty) scratchPath else outPath
+}
 
 /** The distributed extraction job (SURVEY.md §4 physical plan):
   *
@@ -41,32 +56,24 @@ final case class JobConfig(
   * pages of similar cost co-hash, and the salt spreads each bucket over
   * the full partition space so a handful of 100 MB pages cannot pile onto
   * one task. AQE stays on for runtime coalescing.
+  *
+  * All table reads/writes go through `cfg.io` ([[graft.io.TableIO]]);
+  * only the pages INPUT path and the metric-sidecar scratch dir are raw
+  * addresses (the input may equally be a catalog table read upstream and
+  * passed in as a DataFrame via [[extractDataset]]).
   */
 object ExtractionJob {
 
   /** Urls already committed to the extracted table, or None on first run.
-    * Existence is probed through the Hadoop FileSystem of the path, so the
-    * same code works on hdfs:// and s3:// outputs, not just local disk;
-    * the probe is RECURSIVE, so partitioned layouts (nested files under
-    * `failed=true` / `failed=false`, or a downstream re-bucketing) are
-    * recognised, not just flat files.
     * With `retryFailed` the rows whose extraction failed (committed with
     * `failed = true` so a crash loop cannot re-attempt them forever) are
     * NOT treated as committed — the next run re-extracts exactly them.
     * Rows from pre-`failed`-column layouts (column absent, or null after
     * schema merge) count as committed: only an explicit `true` retries. */
   def committedUrls(spark: SparkSession, cfg: JobConfig): Option[DataFrame] = {
-    val path = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/extracted")
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def hasParquet: Boolean = {
-      val it = fs.listFiles(path, true)
-      var found = false
-      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
-      found
-    }
-    if (!fs.exists(path) || !hasParquet) None
+    if (!cfg.io.hasData(spark, cfg.extractedTable)) None
     else {
-      val extracted = spark.read.parquet(s"${cfg.outPath}/extracted")
+      val extracted = cfg.io.read(spark, cfg.extractedTable)
       val committed =
         if (cfg.retryFailed && extracted.columns.contains("failed"))
           extracted.filter(!coalesce(col("failed").cast("boolean"), lit(false)))
@@ -80,79 +87,53 @@ object ExtractionJob {
     * partition (partition pruning; the failure partition never mixes in,
     * even right after a retry run appended fresh rows). */
   def readExtracted(spark: SparkSession, cfg: JobConfig): DataFrame =
-    readExtracted(spark, s"${cfg.outPath}/extracted")
+    readExtracted(spark, cfg.extractedTable, cfg.io)
 
-  /** Same, addressed by the extracted table's own path (the downstream
-    * curation jobs hold the path, not a JobConfig). */
-  def readExtracted(spark: SparkSession, extractedRoot: String): DataFrame = {
-    val df = spark.read.parquet(extractedRoot)
+  /** Same, addressed by the extracted table's own address (the downstream
+    * curation jobs hold the address, not a JobConfig). */
+  def readExtracted(spark: SparkSession, extractedRoot: String,
+                    io: TableIO = ParquetTableIO): DataFrame = {
+    val df = io.read(spark, extractedRoot)
     if (df.columns.contains("failed"))
       df.filter(!coalesce(col("failed").cast("boolean"), lit(false))).drop("failed")
     else df
   }
 
-  /** The crash-recoverable tail of a retry compaction: the completed tmp
-    * dir (still-failing rows, `_SUCCESS` present) is authoritative for
-    * the failure partition — replace the partition with it. Idempotent:
-    * re-running after a crash at ANY point repeats the delete + append
-    * and converges to the same state. */
-  private def completeFailedCompaction(spark: SparkSession, outPath: String,
-                                       tmpDir: String): Unit = {
-    val root = s"$outPath/extracted"
-    val failPart = new org.apache.hadoop.fs.Path(s"$root/failed=true")
-    val fs = failPart.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(failPart, true)
-    val compacted = spark.read.parquet(tmpDir)
-    if (!compacted.isEmpty)
-      compacted.withColumn("failed", lit(true))
-        .write.mode(SaveMode.Append).partitionBy("failed").parquet(root)
-    if (!fs.delete(new org.apache.hadoop.fs.Path(tmpDir), true))
-      throw new java.io.IOException(s"could not remove compaction tmp $tmpDir")
-  }
-
-  /** Startup recovery: finish any retry compaction a previous run left
-    * half-done. A `.failed_compact_*` dir WITH `_SUCCESS` means the
-    * swap may have been interrupted — complete it (idempotent); one
-    * without `_SUCCESS` is an aborted write whose originals are still in
-    * place — just remove the junk. */
-  private def recoverInterruptedCompaction(spark: SparkSession,
-                                           outPath: String): Unit = {
-    val out = new org.apache.hadoop.fs.Path(outPath)
-    val fs = out.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(out)) return
-    fs.listStatus(out).foreach { s =>
-      val name = s.getPath.getName
-      if (s.isDirectory && name.startsWith(".failed_compact_")) {
-        if (fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
-          completeFailedCompaction(spark, outPath, s.getPath.toString)
-        else if (!fs.delete(s.getPath, true))
-          throw new java.io.IOException(s"could not remove aborted tmp ${s.getPath}")
-      }
-    }
-  }
-
   /** One-time migration of a pre-upgrade FLAT extracted table (top-level
     * part files; `failed` a data column, or absent = all committed) into
     * the `failed`-partitioned layout that resumed runs append to.
-    * Crash-safe: the migrated copy is fully written (with `_SUCCESS`)
-    * under a sibling temp dir BEFORE the old root is deleted and the
-    * temp renamed in; if a crash lands between delete and rename,
-    * re-running finds the completed temp and just finishes the rename. */
+    * Parquet-layout-specific by nature (a catalog format carries its spec
+    * in metadata and never needs this). Crash-safe: the migrated copy is
+    * fully written (with `_SUCCESS`) under a sibling temp dir BEFORE the
+    * old root is deleted and the temp renamed in; if a crash lands
+    * between delete and rename, re-running finds the completed temp and
+    * just finishes the rename. */
   def migrateLayout(spark: SparkSession, outPath: String): Unit = {
     val root = new org.apache.hadoop.fs.Path(s"$outPath/extracted")
     val tmp = new org.apache.hadoop.fs.Path(s"$outPath/.extracted_migrating")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def complete(p: org.apache.hadoop.fs.Path) =
       fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    if (!fs.exists(root) && complete(tmp)) {
-      if (!fs.rename(tmp, root))
-        throw new java.io.IOException(s"migration recovery rename $tmp -> $root failed")
-      return
+    if (!fs.exists(root)) {
+      if (complete(tmp)) {
+        // crash landed between delete(root) and rename — finish the swap
+        if (!fs.rename(tmp, root))
+          throw new java.io.IOException(s"migration recovery rename $tmp -> $root failed")
+      } else if (fs.exists(tmp) && !fs.delete(tmp, true))
+        // an aborted pre-delete copy with no original to migrate: junk
+        throw new java.io.IOException(s"could not remove aborted migration tmp $tmp")
+      return // no table (or just recovered) — nothing further to migrate
     }
     val df = spark.read.parquet(root.toString)
     val flat = fs.listStatus(root)
       .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-    if (!flat) return // already partitioned (or empty) — nothing to do
+    if (!flat) {
+      // already partitioned — clean up any incomplete temp a previous
+      // aborted migration attempt left behind (originals are intact)
+      if (fs.exists(tmp) && !complete(tmp) && !fs.delete(tmp, true))
+        throw new java.io.IOException(s"could not remove aborted migration tmp $tmp")
+      return
+    }
     val withFailed =
       if (df.columns.contains("failed"))
         df.withColumn("failed",
@@ -217,19 +198,21 @@ object ExtractionJob {
       s""""extraction_failures":${m.extraction_failures},"wall_ms":${m.wall_ms},""" +
       s""""attempt":$attempt}"""
 
-  /** Full job: extract → append extracted parquet + append metrics rows.
+  /** Full job: extract → append extracted + append metrics rows.
     *
     * Lineage is gathered inside the same pass (one counter row per task,
     * flushed after the partition is fully consumed) and written BY THE
-    * EXECUTOR to a per-task sidecar file under `metrics_raw/<runId>/`,
-    * through the output path's own Hadoop FileSystem (hdfs/s3/local all
-    * work; the Hadoop conf travels as a broadcast entry map). The driver
-    * never accumulates per-task rows, so 10⁷–10⁸ tasks at the 10^12-row
-    * scale cost the driver nothing; after the write action the sidecars
-    * are compacted into the parquet `metrics` table in one small job and
+    * EXECUTOR to a per-task sidecar file under `metrics_raw/<runId>/` of
+    * the scratch dir, through the path's own Hadoop FileSystem (hdfs/s3/
+    * local all work; the Hadoop conf travels as a broadcast entry map).
+    * The driver never accumulates per-task rows, so 10⁷–10⁸ tasks at the
+    * 10^12-row scale cost the driver nothing; after the write action the
+    * sidecars are compacted into the `metrics` table in one small job and
     * the raw dir is removed. Task retries/speculation produce one sidecar
     * per attempt under distinct names; compaction dedupes per partition
-    * keeping the highest attempt.
+    * keeping the highest attempt. (The sidecar mechanism is raw-FS
+    * scratch by design, not table IO — it exists precisely because
+    * executors cannot write a table mid-job.)
     *
     * Returns the cumulative committed doc count, computed from the (tiny)
     * metrics table rather than a full rescan of the extracted table — at
@@ -237,13 +220,13 @@ object ExtractionJob {
   def run(spark: SparkSession, cfg: JobConfig): Long = {
     import spark.implicits._
     // a crashed retry compaction must be completed BEFORE the committed
-    // set is read: its tmp dir is authoritative for the failure partition
-    // (see completeFailedCompaction) and a half-done compaction would
-    // otherwise let a plain resume re-attempt permanently-failing urls
-    recoverInterruptedCompaction(spark, cfg.outPath)
+    // set is read: its replacement set is authoritative for the failure
+    // partition (TableIO.recover) and a half-done swap would otherwise
+    // let a plain resume re-attempt permanently-failing urls
+    cfg.io.recover(spark, cfg.extractedTable)
     val work = planWorkSet(spark, cfg)
     val runId = cfg.runId
-    val rawDir = s"${cfg.outPath}/metrics_raw/$runId"
+    val rawDir = s"${cfg.scratch}/metrics_raw/$runId"
 
     // the executor rebuilds a Hadoop Configuration from this entry map
     // (Configuration itself is not serializable)
@@ -323,49 +306,33 @@ object ExtractionJob {
     // `failed` as a partition column: the (tiny) failure partition stays
     // physically separate from the success rows, so readers prune it and
     // a retry run can compact it without touching the 10^12-row success
-    // side (see below). A pre-upgrade FLAT table (top-level part files,
-    // `failed` as a data column or absent) must NOT receive a partitioned
-    // append: Spark's partition discovery rejects the mixed directory
-    // ("conflicting directory structures") and the resumable table would
-    // be bricked — refuse up front and point at the one-time migration.
-    val extractedRoot = s"${cfg.outPath}/extracted"
-    val rootP = new org.apache.hadoop.fs.Path(extractedRoot)
-    val rootFs0 = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (rootFs0.exists(rootP) && rootFs0.listStatus(rootP)
-          .exists(s => s.isFile && s.getPath.getName.endsWith(".parquet")))
-      throw new IllegalStateException(
-        s"$extractedRoot uses the pre-upgrade flat layout; run " +
-          "ExtractionJob.migrateLayout(spark, outPath) once before resuming")
-    extracted.write.mode(SaveMode.Append)
-      .partitionBy("failed").parquet(extractedRoot)
+    // side (see below). ParquetTableIO.append additionally refuses a
+    // pre-upgrade flat layout up front (see migrateLayout).
+    cfg.io.append(extracted.toDF(), cfg.extractedTable, Seq("failed"))
 
     // retry compaction: a retried url that succeeded this run now has a
     // fresh failed=false row, and a url that failed again has a second
-    // failed=true row — rewrite ONLY the failure partition keeping one
+    // failed=true row — replace ONLY the failure partition keeping one
     // row per still-failing url, restoring the invariant "at most one
     // row per url, and never in both partitions". The rewrite reads the
     // small failure partition plus the pruned url column of the success
-    // side (same cost class as the resume anti-join itself).
+    // side (same cost class as the resume anti-join itself). The swap's
+    // crash-safety lives in TableIO.replacePartition (tmp-dir dance for
+    // parquet, one atomic snapshot commit for Iceberg).
     if (cfg.retryFailed) {
-      val root = s"${cfg.outPath}/extracted"
-      val all = spark.read.parquet(root)
+      val all = cfg.io.read(spark, cfg.extractedTable)
       if (all.columns.contains("failed")) {
         val stillFailing = all.filter(coalesce(col("failed").cast("boolean"), lit(false)))
           .drop("failed")
           .join(all.filter(!coalesce(col("failed").cast("boolean"), lit(false)))
             .select("url"), Seq("url"), "left_anti")
           .dropDuplicates("url")
-        // materialise away from the dir being overwritten, then swap via
-        // the crash-recoverable tail (a crash between the partition
-        // delete and the re-append is repaired by the recovery pass at
-        // the next run's start — the completed tmp dir is authoritative)
-        val tmpDir = s"${cfg.outPath}/.failed_compact_$runId"
-        stillFailing.write.mode(SaveMode.Overwrite).parquet(tmpDir)
-        completeFailedCompaction(spark, cfg.outPath, tmpDir)
+        cfg.io.replacePartition(spark, cfg.extractedTable, "failed", "true",
+          stillFailing)
       }
     }
 
-    // compact sidecars → metrics parquet (dedupe retries: max attempt wins)
+    // compact sidecars → metrics table (dedupe retries: max attempt wins)
     val rawPath = new org.apache.hadoop.fs.Path(rawDir)
     val fs = rawPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(rawPath)) {
@@ -384,12 +351,11 @@ object ExtractionJob {
           "extraction_failures", "wall_ms")
         .as[PartitionMetrics]
       if (!rows.isEmpty)
-        rows.write.mode(SaveMode.Append).parquet(s"${cfg.outPath}/metrics")
+        cfg.io.append(rows.toDF(), cfg.metricsTable)
       fs.delete(rawPath, true)
     }
 
-    val metricsPath = new org.apache.hadoop.fs.Path(s"${cfg.outPath}/metrics")
-    if (!fs.exists(metricsPath)) 0L
+    if (!cfg.io.hasData(spark, cfg.metricsTable)) 0L
     else readMetrics(spark, cfg)
       // successes, not attempts: a url that failed then succeeded on a
       // retry run contributes (parsed=1, failures=1) + (parsed=1,
@@ -401,6 +367,6 @@ object ExtractionJob {
   /** Read the lineage rows back as a typed Dataset. */
   def readMetrics(spark: SparkSession, cfg: JobConfig): Dataset[PartitionMetrics] = {
     import spark.implicits._
-    spark.read.parquet(s"${cfg.outPath}/metrics").as[PartitionMetrics]
+    cfg.io.read(spark, cfg.metricsTable).as[PartitionMetrics]
   }
 }

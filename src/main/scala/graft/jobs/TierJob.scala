@@ -1,7 +1,8 @@
 package graft.jobs
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.io.{ParquetTableIO, TableIO}
 import graft.text.TextOps
 
 /** The curation stage of tier extraction: read the committed extracted
@@ -19,14 +20,20 @@ import graft.text.TextOps
   * size, and the only wide-payload shuffle is the join/write of the text
   * itself — unavoidable for a physically tier-clustered layout and paid
   * once, against every downstream epoch reading 4× less.
+  *
+  * Storage goes through the [[TableIO]] seam: `extractedRoot`/`outPath`
+  * are paths for [[ParquetTableIO]] (default) or catalog identifiers for
+  * an IcebergTableIO session.
   */
 object TierJob {
 
   /** Tier the extracted table at `extractedRoot` (success partition only;
-    * failed rows carry no text) into `outPath/tiered`, partitioned by
-    * tier. Returns the per-tier document counts (tier, docs). */
-  def run(spark: SparkSession, extractedRoot: String, outPath: String): DataFrame = {
-    val ex = ExtractionJob.readExtracted(spark, extractedRoot)
+    * failed rows carry no text) into `outPath`'s `tiered` table,
+    * partitioned by tier. Returns the per-tier document counts
+    * (tier, docs). */
+  def run(spark: SparkSession, extractedRoot: String, outPath: String,
+          io: TableIO = ParquetTableIO): DataFrame = {
+    val ex = ExtractionJob.readExtracted(spark, extractedRoot, io)
     val tiers = TextOps.tierAssign(
       ex.select(col("url").as("doc_id"), col("text")))
       .withColumnRenamed("doc_id", "url")
@@ -35,13 +42,13 @@ object TierJob {
     // pure extra bandwidth on the one unavoidable payload move. SHJ
     // builds the hash table from the 3-column tier table and streams the
     // payload side unsorted into the partitioned writer.
-    ex.join(tiers.hint("shuffle_hash"), "url")
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("tier").parquet(s"$outPath/tiered")
+    val tieredTable = io.resolve(outPath, "tiered")
+    io.overwrite(ex.join(tiers.hint("shuffle_hash"), "url"),
+      tieredTable, Seq("tier"))
 
     // counts from the written table's partition column only — the scan
     // prunes to parquet footers + the directory-valued tier column
-    spark.read.parquet(s"$outPath/tiered")
+    io.read(spark, tieredTable)
       .groupBy("tier").agg(count(lit(1)).as("docs"))
   }
 }

@@ -3,7 +3,6 @@ package graft.sim
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -163,14 +162,14 @@ object Ann {
   /** [[ivfKnn]] on the hierarchical assignment: identical per-cell join
     * + windowed top-k, only the assignment strategy differs.
     *
-    * NOTE: same persisted-assignment lifetime as [[ivfKnn]] — callers
-    * building many indexes in one session should
-    * `spark.catalog.clearCache()` between runs. */
+    * The persisted assignment self-releases after the first consuming
+    * action ([[graft.util.CacheOnce]]) — no caller-side clearCache
+    * needed. */
   def ivfKnnHierarchical(emb: DataFrame, k: Int, coarseCells: Int = 64,
                          finePerCoarse: Int = 64, nprobeCoarse: Int = 2,
                          nprobe: Int = 4): DataFrame = {
-    val assign = ivfAssignHierarchical(emb, coarseCells, finePerCoarse,
-      nprobeCoarse, nprobe).persist(StorageLevel.MEMORY_AND_DISK)
+    val assign = graft.util.CacheOnce(ivfAssignHierarchical(emb, coarseCells,
+      finePerCoarse, nprobeCoarse, nprobe))
     val l = assign.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"),
       sqrt(dot(col("e"), col("e"))).as("na"))
     val r = assign.filter(col("rn") === 1)
@@ -189,15 +188,11 @@ object Ann {
     * cells and ranks exactly within the probed candidates. Recall rises
     * with nprobe at linear cost; per-cell joins replace the quadratic
     * cross join of [[cosineKnn]]. The assignment is persisted so home and
-    * probe legs share one computation.
-    *
-    * NOTE: the persisted assignment lives until the caller drops it —
-    * callers that build many indexes in one session (Bench's recall loop)
-    * should `spark.catalog.clearCache()` between runs, or cached
-    * assignment blocks accumulate for the session lifetime. */
+    * probe legs share one computation, and self-releases after the first
+    * consuming action ([[graft.util.CacheOnce]]) — third-party callers
+    * no longer inherit a session-lifetime cache to clear. */
   def ivfKnn(emb: DataFrame, k: Int, cells: Int = 0, nprobe: Int = 4): DataFrame = {
-    val assign = ivfAssign(emb, cells, nprobe)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assign = graft.util.CacheOnce(ivfAssign(emb, cells, nprobe))
     val l = assign.select(col("cell"), col("vec_id").as("a"), col("e").as("ea"),
       sqrt(dot(col("e"), col("e"))).as("na"))
     val r = assign.filter(col("rn") === 1)
@@ -322,13 +317,10 @@ object Ann {
     * max-inner-product analogue of cosine on the min-max-normalised code
     * space — deliberately its own semantics, not a float cosine repaint.
     *
-    * NOTE: same persisted-assignment lifetime as [[ivfKnn]] — callers
-    * building many indexes in one session should
-    * `spark.catalog.clearCache()` between runs. */
+    * Same self-releasing assignment cache as [[ivfKnn]]. */
   def sqKnn(emb: DataFrame, k: Int, cells: Int = 0, nprobe: Int = 4): DataFrame = {
-    val assign = ivfAssign(emb, cells, nprobe)
-      .select(col("vec_id"), col("cell"), col("rn"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val assign = graft.util.CacheOnce(ivfAssign(emb, cells, nprobe)
+      .select(col("vec_id"), col("cell"), col("rn")))
     val qv = sqQuantize(emb)
     val l = assign.join(qv, "vec_id")
       .select(col("cell"), col("vec_id").as("a"), col("qv").as("qa"))

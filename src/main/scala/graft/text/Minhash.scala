@@ -16,18 +16,42 @@ package graft.text
   */
 object Minhash {
 
+  // MessageDigest.getInstance allocates (provider lookup + digest state)
+  // on every call; signature() hashes nHashes × shingles times per
+  // document on the streaming ingest hot path — the same per-call md5
+  // cost the crossDupCoverage batch path measured at ~150 s of a 188 s
+  // pass. One digest per thread, reset by digest() itself, is free.
+  private val md = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val Hex = "0123456789abcdef".toCharArray
+
   private def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-    val sb = new StringBuilder(32)
-    d.foreach(b => sb.append("%02x".format(b)))
-    sb.toString
+    val d = md.get().digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
   }
 
   /** First 15 hex chars of md5, base-16 — the shared 60-bit convention
-    * ([[TextOps.md5Hash60]] / the DuckDB oracle's `h60`). */
-  def hash60(s: String): Long =
-    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+    * ([[TextOps.md5Hash60]] / the DuckDB oracle's `h60`), computed
+    * straight from the digest bytes (7 full bytes + the high nibble of
+    * byte 7 = 60 bits), no hex string or parse on the hot path.
+    * TextOpsSpec pins equality with the hex-parse formulation and with
+    * the relational [[TextOps.minhash]] slots. */
+  def hash60(s: String): Long = {
+    val d = md.get().digest(s.getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xffL) >>> 4)
+  }
 
   /** Word tokens, mirroring `split(trim(text), "\\s+")`. */
   def tokens(text: String): Array[String] = text.trim.split("\\s+")

@@ -432,15 +432,27 @@ object TextOps {
   }
 
   /** Sensitive-pattern scrubbing signals (the PII-redaction stage of a
-    * training-data pipeline): per pattern a match count, plus the total
+    * training-data pipeline): per pattern a match count (over the
+    * ORIGINAL text, so counts are independent signals), plus the total
     * characters removed when every match collapses to a single
-    * replacement mark. Patterns are RE2-safe (no backrefs/lookaround) so
-    * Java regex and the oracle's RE2 agree match-for-match; application
-    * order is fixed (emails before phones before marks) so overlapping
-    * hits resolve identically in both engines. The scrub itself is a
-    * per-row projection — no shuffle, codegen'd, corpus-scale-free. */
+    * replacement mark. Patterns are RE2-safe (no backrefs/lookaround;
+    * `\b` and non-capturing groups are in both engines) so Java regex
+    * and the oracle's RE2 agree match-for-match; the scrub application
+    * order is FIXED (most-specific first: email, SSN-shaped, card-shaped
+    * digit runs, IPv4, separator phones, ©-year) so overlapping hits
+    * resolve identically in both engines. The scrub itself is a per-row
+    * projection — no shuffle, codegen'd, corpus-scale-free.
+    *
+    * Shapes, not validators — by design: a training-data scrub wants
+    * recall on "looks like PII" (an impossible SSN area number or a
+    * card number failing its Luhn digit is still worth redacting);
+    * checksum validation would also put a non-regex UDF in the hot
+    * path. */
   val scrubPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "ssn" -> "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b",
+    "card" -> "\\b[0-9]{13,16}\\b",
+    "ipv4" -> "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b",
     "phone" -> "\\+?[0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}",
     "year_mark" -> "©[0-9]{4}")
 
@@ -552,19 +564,39 @@ object TextOps {
     * it does not spill wholesale).
     *
     * Scale shape: a single global running sum would serialise the corpus
-    * through one partition, so documents first hash into `nGroups`
-    * independent pack groups (deterministic md5 bucket — reproducible,
+    * through one partition, so documents first hash into independent
+    * pack groups (deterministic md5 bucket — reproducible,
     * layout-independent) and the running sum is a window per group,
     * ordered by doc_id: each group is one shuffle partition's worth of
-    * window work and groups scale out linearly. At 10^12 docs pick
-    * nGroups ≈ corpus tokens / (bins-per-task × capacity); every group
-    * packs independently, so the only coordination is the hash. */
+    * window work and groups scale out linearly.
+    *
+    * The group count is DERIVED FROM THE CORPUS (the sizing rule is
+    * code, not a docstring): nGroups = ⌈corpus tokens / (binsPerGroup ×
+    * capacity)⌉, i.e. each group packs ~`binsPerGroup` training bins —
+    * one window task's worth of work at any corpus size, so a 10^12-doc
+    * corpus gets millions of parallel groups instead of a fixed
+    * handful serialising the running sums. The total rides the same
+    * plan as a broadcast 1-row aggregate (no separate count action,
+    * the ivfAssign parameter-folding idiom). Pass `nGroups > 0` to pin
+    * the count explicitly (reproducing a prior layout). */
   def packAssign(docs: DataFrame, capacity: Int = 2048,
-                 nGroups: Int = 8, seed: String = "pack"): DataFrame = {
-    val grp = (md5Hash60(concat(lit(s"$seed:"), col("doc_id"))) % nGroups)
-      .as("pack_group")
-    val base = docs.select(col("doc_id"), grp,
+                 nGroups: Int = 0, seed: String = "pack",
+                 binsPerGroup: Int = 64): DataFrame = {
+    val counted = docs.select(col("doc_id"),
       size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val withNg =
+      if (nGroups > 0) counted.withColumn("ng", lit(nGroups.toLong))
+      else {
+        val par = counted.agg(sum(col("n_tokens")).as("tot"))
+          .select(greatest(lit(1L),
+            ceil(col("tot") / lit(binsPerGroup.toDouble * capacity))
+              .cast("long")).as("ng"))
+        counted.crossJoin(broadcast(par))
+      }
+    val base = withNg.select(col("doc_id"),
+      (md5Hash60(concat(lit(s"$seed:"), col("doc_id"))) % col("ng"))
+        .as("pack_group"),
+      col("n_tokens"))
     val w = Window.partitionBy("pack_group").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     base

@@ -205,6 +205,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("x8 span dedup: extraction subtree executes once, behind the cached narrow projection") {
+    // the round-3 shape referenced the span projection twice (docFreq
+    // groupBy + join) WITHOUT persisting — the extraction mapPartitions
+    // subtree executed twice per run. Pin the fixed shape: both legs read
+    // one InMemoryRelation and no raw extraction node survives outside it.
+    spark.catalog.clearCache()
+    val qe = SparkEntry.queries("x8_span_dedup")(spark, sf).queryExecution
+    val caches = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.size == 2,
+      s"both legs must read the cached span projection:\n${qe.optimizedPlan}")
+    val rawExtraction = qe.optimizedPlan.collect {
+      case p if p.nodeName.contains("MapPartitions") => p
+    }
+    assert(rawExtraction.isEmpty,
+      s"the extraction transform must live only inside the cached relation:\n${qe.optimizedPlan}")
+    spark.catalog.clearCache()
+  }
+
   test("x3 resume anti-join prunes both scans to the url column") {
     val p = plan("x3_resume_antijoin")
     assert(p.contains("LeftAnti"), s"resume must be a left-anti join:\n$p")

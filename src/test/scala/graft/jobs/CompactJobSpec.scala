@@ -40,6 +40,15 @@ class CompactJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = spark.read.parquet(s"$tmp/compact").select("url", "html")
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty, "content identical")
 
+    // reconciliation modes: the default row count rides the rewrite pass
+    // itself (observe metric, zero extra IO — asserted above as rows ==
+    // 200); verifyRescan re-reads the rewritten table independently and
+    // must agree with the observed count
+    val verified = CompactJob.run(spark, table, s"$tmp/compact_v",
+        targetFileBytes = 1L << 20, verifyRescan = true).collect().head
+    assert(verified.getLong(2) == 200,
+      "verifyRescan second pass agrees with the observed write count")
+
     // url-range clustering: with >1 output file, per-file url ranges are
     // disjoint (this is what makes footer min/max stats selective for the
     // resume anti-join scan)

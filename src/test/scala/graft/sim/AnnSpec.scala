@@ -300,4 +300,31 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(cosine(vecs(a), vecs(b)) >= 0.95)
     }
   }
+
+  test("IVF/SQ/hierarchical queries release their assignment caches without caller clearCache") {
+    // the round-3 contract made the CALLER own the persisted assignment
+    // (Bench/Verify clearCache()d between queries); CacheOnce now drops
+    // it after the first consuming action — assert no cached blocks (or
+    // cache-manager entries) survive the action, within listener-bus
+    // dispatch latency
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    spark.catalog.clearCache()
+    def drained(): Boolean =
+      spark.sparkContext.getPersistentRDDs.isEmpty &&
+        spark.sharedState.cacheManager.isEmpty
+    val builders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "ivfKnn" -> (() => Ann.ivfKnn(emb, k = 3)),
+      "sqKnn" -> (() => Ann.sqKnn(emb, k = 3)),
+      "ivfKnnHierarchical" -> (() => Ann.ivfKnnHierarchical(emb, k = 3,
+        coarseCells = 4, finePerCoarse = 4)))
+    for ((name, build) <- builders) {
+      // built one at a time: each query registers its own cache, which
+      // must be gone after ITS consuming action
+      assert(build().count() > 0, s"$name returns rows")
+      val deadline = System.currentTimeMillis() + 30000
+      while (!drained() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(drained(),
+        s"$name must self-release its persisted assignment after the action")
+    }
+  }
 }

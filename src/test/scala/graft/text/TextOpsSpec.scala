@@ -73,6 +73,19 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.nonEmpty)
   }
 
+  test("scalar hash60 (digest-byte fold) equals the hex-parse formulation") {
+    // the hot-path implementation folds 60 bits straight from the digest
+    // bytes; pin it against the definitional first-15-hex-chars parse
+    for (s <- Seq("", "a", "0:the quick", "7:brown fox", "pack:1",
+        "i:\u00a9 unicode \u0a10 text", "x" * 500)) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString
+      assert(Minhash.hash60(s) == java.lang.Long.parseLong(hex.substring(0, 15), 16),
+        s"hash60 mismatch for '$s'")
+    }
+  }
+
   test("scalar Minhash (streaming path) is slot-identical to the relational minhash") {
     // The streaming LSH operator computes signatures per row via
     // graft.text.Minhash; pin its convention (tokens, 3-shingles, "i:"
@@ -239,22 +252,48 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }, "bucket boundaries map exactly to shard names")
   }
 
+  /** piiScrub rows keyed by doc_id, columns by name. */
+  private def scrubRows(d: org.apache.spark.sql.DataFrame): Map[Long, Map[String, Long]] = {
+    val out = TextOps.piiScrub(d)
+    val names = out.columns.drop(1)
+    out.collect().map { r =>
+      r.getLong(0) -> names.zipWithIndex.map { case (n, i) => n -> r.getLong(i + 1) }.toMap
+    }.toMap
+  }
+
   test("pii scrub counts and removes emails, phones, year marks") {
     val d = docs(
       1L -> "contact us at team.lead+x@example.co.uk or sales@corp.io today",
       2L -> "call +91 987 6543 or 040 1234 567 now",
       3L -> "plain prose with nothing to scrub at all",
       4L -> "footer ©2024 and again ©1999 end")
-    val r = TextOps.piiScrub(d).collect()
-      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
-    assert(r(1L)._1 == 2 && r(1L)._2 == 0 && r(1L)._3 == 0, s"emails: ${r(1L)}")
+    val r = scrubRows(d)
+    assert(r(1L)("n_email") == 2 && r(1L)("n_phone") == 0 && r(1L)("n_year_mark") == 0)
     // "team.lead+x@example.co.uk"(25) + "sales@corp.io"(13) -> 2 marks
-    assert(r(1L)._4 == 25 + 13 - 2, s"email chars removed: ${r(1L)}")
-    assert(r(2L)._1 == 0 && r(2L)._2 == 2, s"phones: ${r(2L)}")
+    assert(r(1L)("chars_removed") == 25 + 13 - 2, s"email chars removed: ${r(1L)}")
+    assert(r(2L)("n_email") == 0 && r(2L)("n_phone") == 2, s"phones: ${r(2L)}")
     // "+91 987 6543"(12) + "040 1234 567"(12) -> 2 marks
-    assert(r(2L)._4 == 12 + 12 - 2, s"phone chars removed: ${r(2L)}")
-    assert(r(3L) == ((0L, 0L, 0L, 0L)), s"clean doc untouched: ${r(3L)}")
-    assert(r(4L)._3 == 2 && r(4L)._4 == 5 + 5 - 2, s"year marks: ${r(4L)}")
+    assert(r(2L)("chars_removed") == 12 + 12 - 2, s"phone chars removed: ${r(2L)}")
+    assert(r(3L).values.forall(_ == 0L), s"clean doc untouched: ${r(3L)}")
+    assert(r(4L)("n_year_mark") == 2 && r(4L)("chars_removed") == 5 + 5 - 2)
+  }
+
+  test("pii scrub: SSN-shaped, card-shaped, and IPv4 patterns fire exactly") {
+    val d = docs(
+      1L -> "ssn on file: 123-45-6789 thanks",
+      2L -> "card 4111111111111111 billed; ref 12345678901234567 is 17 digits",
+      3L -> "server at 192.168.10.250 and 10.0.0.1 replied",
+      4L -> "order 123-45-678 is not an ssn and 1.2.3 is not an ip")
+    val r = scrubRows(d)
+    assert(r(1L)("n_ssn") == 1 && r(1L)("n_phone") == 0,
+      s"ssn fires once, phone must not co-fire on it: ${r(1L)}")
+    assert(r(1L)("chars_removed") == 11 - 1, s"ssn chars: ${r(1L)}")
+    // 16-digit run matches; the 17-digit run must NOT (\b{13,16}\b)
+    assert(r(2L)("n_card") == 1, s"card-shaped: ${r(2L)}")
+    assert(r(2L)("chars_removed") == 16 - 1, s"card chars: ${r(2L)}")
+    assert(r(3L)("n_ipv4") == 2, s"ipv4: ${r(3L)}")
+    assert(r(3L)("chars_removed") == (14 - 1) + (8 - 1), s"ipv4 chars: ${r(3L)}")
+    assert(r(4L).values.forall(_ == 0L), s"near-miss shapes untouched: ${r(4L)}")
   }
 
   test("gram explosion tokenizes once: split() stays out of the position lambda") {
@@ -364,5 +403,43 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) == ((3L, 0L, 0L)), s"doc1: ${r(1L)}")
     assert(r(2L) == ((2L, 3L, 0L)), s"doc2 starts at offset 3, still bin 0: ${r(2L)}")
     assert(r(3L) == ((4L, 5L, 1L)), s"doc3 spills into bin 1: ${r(3L)}")
+  }
+
+  test("packAssign derives nGroups from corpus size; membership deterministic across partitionings") {
+    val s = spark
+    import s.implicits._
+    // 400 docs x 10 tokens = 4000 tokens; binsPerGroup=2, capacity=25 ->
+    // ng = ceil(4000 / 50) = 80 parallel pack groups (the docstring-rule-
+    // become-code: a bigger corpus means MORE groups, same work per group)
+    val d = (1L to 400L).map(i => (i, (1 to 10).map(j => s"w$i-$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val a = TextOps.packAssign(d.repartition(7), capacity = 25, binsPerGroup = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val b = TextOps.packAssign(d.repartition(3), capacity = 25, binsPerGroup = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    assert(a == b, "pack membership and offsets must be partition-layout-independent")
+    val groups = a.map(_._2).distinct
+    assert(groups.forall(g => g >= 0 && g < 80), s"groups in [0,80): ${groups.max}")
+    assert(groups.size > 40, s"the derived 80 groups must actually spread: ${groups.size}")
+    // the rule is the seeded hash mod the DERIVED count — spot-check one doc
+    val g1 = a.find(_._1 == 1L).get._2
+    assert(g1 == Minhash.hash60("pack:1") % 80,
+      "group = md5Hash60(seed:doc_id) % ceil(tokens/(binsPerGroup*capacity))")
+  }
+
+  test("packAssign: large explicit nGroups run keeps per-group prefix sums exact") {
+    val s = spark
+    import s.implicits._
+    val d = (1L to 500L).map(i => (i, (1 to (i % 7 + 1).toInt).map(j => s"t$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val r = TextOps.packAssign(d, capacity = 8, nGroups = 256)
+      .collect().map(x => (x.getLong(1), x.getLong(0), x.getLong(2), x.getLong(3)))
+    r.groupBy(_._1).foreach { case (_, rows) =>
+      var off = 0L
+      rows.sortBy(_._2).foreach { case (_, _, nTok, tokOff) =>
+        assert(tokOff == off, s"offsets must be the doc_id-ordered prefix sum")
+        off += nTok
+      }
+    }
   }
 }
