@@ -339,6 +339,25 @@ object SparkEntry {
       TextOps.tierAssign(ex).withColumnRenamed("doc_id", "url")
     }),
 
+    // ---- C4-style line filtering over the EXTRACTOR's own blocks (the
+    // boilerplate-residue pass; pure projection, zero shuffles) ----------
+    "x11_line_filter" -> ((s, d) =>
+      TextOps.c4LineFilter(extractedDf(s, d)
+          .select(col("url").as("doc_id"), col("text")))
+        .withColumnRenamed("doc_id", "url")),
+
+    // ---- per-host document cap (crawl-curation quota; WindowGroupLimit
+    // keeps the per-host skew out of the exchange) ------------------------
+    "x12_host_cap" -> ((s, d) =>
+      TextOps.hostCap(pagesDf(s, d).select("url", "text"), k = 3)),
+
+    // ---- within-page repeated-line strip over the extracted blocks
+    // (first occurrence wins, order preserved; pure projection) ----------
+    "x13_line_dedup" -> ((s, d) =>
+      TextOps.dedupDocLines(extractedDf(s, d)
+          .select(col("url").as("doc_id"), col("text")))
+        .withColumnRenamed("doc_id", "url")),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -799,6 +818,41 @@ object SparkEntry {
                CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans,
                CAST(sum(CASE WHEN ndocs >= 2 THEN len ELSE 0 END) AS BIGINT) AS dup_chars
              FROM sp JOIN docfreq USING (sh) GROUP BY url"""),
+      // C4 line filter over the extracted blocks (pages.text is the
+      // byte-identical extracted text, per x1)
+      "x11_line_filter" ->
+        (s"""WITH k AS (
+               SELECT url, str_split(text, chr(10)) AS lines,
+                 list_filter(str_split(text, chr(10)),
+                   l -> len(regexp_split_to_array(trim(l), '\\s+')) >= 5
+                        AND regexp_matches(l, '[.!?]$$')) AS kept
+               FROM $pages)
+             SELECT url,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               array_to_string(kept, chr(10)) AS kept_text,
+               CAST(CASE WHEN len(kept) >= 3 THEN 1 ELSE 0 END AS BIGINT) AS doc_keep
+             FROM k"""),
+      "x12_host_cap" ->
+        (s"""WITH scored AS (
+               SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+               FROM $pages),
+             ranked AS (
+               SELECT *, row_number() OVER (
+                 PARTITION BY host ORDER BY n_tokens DESC, url) AS rk
+               FROM scored)
+             SELECT url, host, n_tokens, CAST(rk AS BIGINT) AS rk
+             FROM ranked WHERE rk <= 3"""),
+      "x13_line_dedup" ->
+        (s"""WITH l AS (SELECT url, str_split(text, chr(10)) AS lines FROM $pages),
+             d AS (SELECT url, lines,
+                     list_filter(lines, (x, i) -> list_position(lines, x) = i) AS uniq
+                   FROM l)
+             SELECT url, CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(len(uniq) AS BIGINT) AS n_unique,
+               array_to_string(uniq, chr(10)) AS dedup_text
+             FROM d"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

@@ -44,6 +44,10 @@ object ExtractMain {
       case other     => sys.error(s"--io must be parquet|iceberg, got $other")
     }
     val scratch = opts.getOrElse("scratch", "")
+    // a catalog-addressed io has no filesystem output root to default the
+    // metric-sidecar scratch dir to — "cat.db/metrics_raw" is not a path
+    if (io.isInstanceOf[graft.io.IcebergTableIO] && scratch.isEmpty)
+      sys.error("--scratch <shared fs dir> is required with --io iceberg")
 
     val spark = SparkSession.builder()
       .appName("graft-extract")

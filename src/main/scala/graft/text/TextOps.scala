@@ -481,6 +481,74 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0)))
         .as("n_num_tokens"))
 
+  /** C4-style line filtering (Raffel et al. 2020 §2.2: "we only retained
+    * lines that ended in a terminal punctuation mark" plus the minimum-
+    * word rule): keep the newline-delimited lines carrying at least
+    * `minWords` whitespace tokens AND ending in `.` `!` or `?`; the
+    * document survives (`doc_keep`) when at least `minLines` lines do.
+    * Over the extractor's output the lines ARE its block structure, so
+    * this is the boilerplate-residue pass after extraction.
+    *
+    * Scale shape: a pure per-row projection over the line array
+    * (higher-order filter, no explode) — ZERO shuffles at any corpus
+    * size, and `doc_keep` prunes rejected documents before any
+    * downstream shuffle pays for them. */
+  def c4LineFilter(docs: DataFrame, minWords: Int = 5,
+                   minLines: Int = 3): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val kept = filter(lines, l =>
+      size(split(trim(l), "\\s+")) >= minWords && l.rlike("[.!?]$"))
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      array_join(kept, "\n").as("kept_text"),
+      (size(kept) >= minLines).cast("long").as("doc_keep"))
+  }
+
+  /** Within-document line dedup, first occurrence wins, original order
+    * preserved — the repeated-boilerplate strip (nav bars, cookie
+    * banners, footer chrome repeated mid-page) applied INSIDE each page
+    * before any corpus-level dedup sees it.
+    *
+    * Scale shape: the first-occurrence test is `array_position` against
+    * the line's own index, so the whole op is a per-row projection —
+    * zero shuffles, no explode/groupBy/window. The O(lines²) string
+    * scan per document is ~30² short compares on this corpus shape —
+    * noise next to one gram hash — and is bounded by the extractor's
+    * own per-page cost either way. */
+  def dedupDocLines(docs: DataFrame): DataFrame = {
+    val lines = split(col("text"), "\n")
+    val uniq = transform(
+      filter(transform(lines, (l, i) => struct(l.as("l"), i.as("i"))),
+        s => array_position(lines, s.getField("l")) === s.getField("i") + 1),
+      s => s.getField("l"))
+    docs.select(col("doc_id"),
+      size(lines).cast("long").as("n_lines"),
+      size(uniq).cast("long").as("n_unique"),
+      array_join(uniq, "\n").as("dedup_text"))
+  }
+
+  /** Per-host document cap — the crawl-curation quota ("no host
+    * contributes more than K documents") that stops template farms and
+    * crawler traps from dominating a corpus. Ranks each host's documents
+    * by whitespace-token count (desc, url tiebreak — fully deterministic)
+    * and keeps the top `k`.
+    *
+    * Scale shape: the rank filter compiles to WindowGroupLimit (Spark 4
+    * top-k pushdown): every map task keeps at most k rows PER HOST
+    * before the exchange, so a 10^8-page host (the crawl-skew case)
+    * contributes k rows per task to the shuffle, not 10^8 rows to one
+    * reducer — the window is skew-proof without salting. */
+  def hostCap(docs: DataFrame, k: Int = 3): DataFrame = {
+    val scored = docs.select(col("url"),
+      regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val w = Window.partitionBy("host")
+      .orderBy(col("n_tokens").desc, col("url"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Benchmark decontamination: per document, how many of its n-gram
     * positions appear anywhere in `benchmark` — the standard eval-leak
     * check (GPT-3 appendix C / Lee et al. style) a training corpus runs

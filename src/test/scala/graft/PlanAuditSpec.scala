@@ -240,4 +240,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("ReadSchema: struct<url:string,html:binary>"))
     assert(!p.toLowerCase.contains("exchange"))
   }
+
+  test("x11/x13 line curation: pure projections, zero exchanges past extraction") {
+    for (q <- Seq("x11_line_filter", "x13_line_dedup")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("exchange"),
+        s"$q must stay a per-row projection (no shuffle at any corpus size):\n$p")
+      assert(!p.contains("Generate"),
+        s"$q must filter inside the line array, not explode it:\n$p")
+    }
+  }
+
+  test("x12 host cap: rank filter compiles to WindowGroupLimit (skew-proof top-k)") {
+    val p = plan("x12_host_cap")
+    assertNoCartesian(p, "x12")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-host cap must push partial top-k below the exchange:\n$p")
+  }
 }

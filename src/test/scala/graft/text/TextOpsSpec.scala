@@ -442,4 +442,50 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("c4LineFilter keeps terminal-punctuated lines of >= minWords words") {
+    val d = docs(
+      1L -> ("one two three four five.\n" + // kept
+        "too short.\n" + // 2 words — dropped
+        "no terminal punct here at all\n" + // no [.!?] — dropped
+        "does this line have enough words?\n" + // kept (?)
+        "exclamations also count as terminal marks!"), // kept (!)
+      2L -> "just one good line here today.\nand nothing else")
+    val r = TextOps.c4LineFilter(d, minWords = 5, minLines = 3)
+      .collect().map(x => (x.getLong(0),
+        (x.getLong(1), x.getLong(2), x.getString(3), x.getLong(4)))).toMap
+    assert(r(1L)._1 == 5 && r(1L)._2 == 3 && r(1L)._4 == 1L)
+    assert(r(1L)._3 == "one two three four five.\n" +
+      "does this line have enough words?\n" +
+      "exclamations also count as terminal marks!")
+    assert(r(2L) == ((2L, 1L, "just one good line here today.", 0L)))
+  }
+
+  test("dedupDocLines drops repeats, keeps first occurrence and order") {
+    val d = docs(
+      1L -> "cookie banner\nreal content one\ncookie banner\nreal content two\nreal content one",
+      2L -> "a\nb\nc")
+    val r = TextOps.dedupDocLines(d)
+      .collect().map(x => (x.getLong(0), (x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((5L, 3L, "cookie banner\nreal content one\nreal content two")))
+    assert(r(2L) == ((3L, 3L, "a\nb\nc")))
+  }
+
+  test("hostCap keeps the k highest-token docs per host, url tiebreak") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      ("https://a.org/1", "w1 w2 w3 w4"),
+      ("https://a.org/2", "w1 w2"),
+      ("https://a.org/3", "w1 w2 w3"),
+      ("https://a.org/4", "w1 w2 w3"), // ties /3 on tokens; url breaks it
+      ("https://b.org/1", "w1")).toDF("url", "text")
+    val r = TextOps.hostCap(d, k = 2).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .sortBy(x => (x._2, x._4))
+    assert(r.toSeq == Seq(
+      ("https://a.org/1", "a.org", 4L, 1L),
+      ("https://a.org/3", "a.org", 3L, 2L),
+      ("https://b.org/1", "b.org", 1L, 1L)))
+  }
 }
