@@ -78,6 +78,27 @@ object StreamingExtraction {
       Seq(col("url"), col("warc_ts"), col("text")) ++
         graft.text.TextOps.preTierCols(col("text")): _*)
 
+  /** Streaming line-level curation at ingest: the within-page repeated-
+    * line strip ([[graft.text.TextOps.dedupDocLines]]) followed by the
+    * C4 terminal-punct/min-word line filter
+    * ([[graft.text.TextOps.c4LineFilter]]) — both pure per-row
+    * projections (no state store, no watermark, no shuffle), so they
+    * drop into the ingest stream unchanged and cut boilerplate bytes
+    * BEFORE they cost storage or downstream shuffle. Emits the curated
+    * text plus the keep decision; an ingest pipeline filters
+    * `doc_keep = 1` and writes `kept_text`. Stream/batch agreement is
+    * asserted in `StreamingExtractionSpec`. */
+  def curatedPages(pages: DataFrame, minWords: Int = 5,
+                   minLines: Int = 3): DataFrame = {
+    import graft.text.TextOps
+    val deduped = TextOps.dedupDocLines(
+      pages.select(col("url").as("doc_id"), col("text")))
+    TextOps.c4LineFilter(
+        deduped.select(col("doc_id"), col("dedup_text").as("text")),
+        minWords, minLines)
+      .withColumnRenamed("doc_id", "url")
+  }
+
   /** Streaming exact dedup: first-seen wins per content hash, with the
     * state store bounded by the event-time watermark — the streaming
     * analogue of the batch `t3_dedup_exact` groupBy (a crawl ingest

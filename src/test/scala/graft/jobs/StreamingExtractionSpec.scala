@@ -124,6 +124,33 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == want, "stream and batch pre-tier must agree row-for-row")
   }
 
+  test("streaming line curation: stateless dedup+C4 projection, batch-identical") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val source = MemoryStream[graft.pages.PageRow]
+    val q = StreamingExtraction.curatedPages(source.toDF())
+      .writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+    val rows = graft.pages.PageGen.pages(11L, 0, 40).toSeq
+    source.addData(rows: _*)
+    q.processAllAvailable()
+    assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"line curation must run stateless:\n${q.lastProgress}")
+    val got = spark.sql("SELECT url, n_kept, kept_text, doc_keep FROM curated")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    q.stop()
+    assert(got.size == 40)
+    // identical to the batch composition over the same rows
+    val want = StreamingExtraction.curatedPages(rows.toDF())
+      .select("url", "n_kept", "kept_text", "doc_keep")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2), r.getLong(3))).toMap
+    assert(got == want, "stream and batch line curation must agree row-for-row")
+    assert(got.values.exists(_._1 > 0), "some lines must survive the filter")
+  }
+
   test("streaming LSH candidates: banded collisions against first-seen reps, replay-exact") {
     val s = spark
     import s.implicits._
