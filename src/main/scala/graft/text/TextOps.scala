@@ -209,24 +209,32 @@ object TextOps {
     * character k-gram, slide a w-wide window over consecutive positions
     * and keep each window's minimum hash; the distinct kept hashes are
     * the document's fingerprint set. Guarantees any shared substring of
-    * length ≥ w+k-1 yields a shared fingerprint. All codegen'd built-ins:
-    * position explode → substring hash → frame-window min → distinct
-    * (one shuffle for the distinct; the window min is partition-local
-    * after the per-doc sort). */
+    * length ≥ w+k-1 yields a shared fingerprint.
+    *
+    * Scale shape: the whole computation is a per-row projection over
+    * higher-order built-ins — gram hashes as one `transform` array, the
+    * sliding window min as `array_min(slice(...))` per position, the
+    * per-doc distinct as `array_distinct` BEFORE the explode (doc_id is
+    * part of the pair, so per-doc distinct IS the global distinct).
+    * ZERO exchanges: the earlier formulation exploded one row per
+    * character position and ran a window over doc_id, i.e. a full
+    * shuffle + sort of char-level rows (~10⁹ rows per 10⁶ docs) just to
+    * compute a per-document value; at 10¹² docs that exchange would
+    * dwarf the hashing itself. The hash array is projected in its own
+    * step and referenced twice (transform + slice) — CollapseProject
+    * keeps non-cheap multi-referenced aliases separate, so the md5 pass
+    * runs once per document (`WinnowSpec` guards both properties). */
   def winnow(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
-    val grams = docs
+    val hs = transform(
+      sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+      p => md5Hash60(col("text").substr(p, lit(k))))
+    docs
+      .select(col("doc_id"), hs.as("hs"))
       .select(col("doc_id"),
-        explode(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))))
-          .as("p"),
-        col("text"))
-      .select(col("doc_id"), col("p"),
-        md5Hash60(col("text").substr(col("p"), lit(k))).as("h"))
-    val win = Window.partitionBy("doc_id").orderBy("p")
-      .rowsBetween(Window.currentRow, w - 1)
-    grams
-      .withColumn("fp", min(col("h")).over(win))
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+        explode(array_distinct(
+          transform(col("hs"),
+            (_, i) => array_min(slice(col("hs"), i + lit(1), lit(w))))))
+          .as("fp"))
   }
 
   /** English stopwords for the ratio signal (non-distinct occurrence
