@@ -275,27 +275,69 @@ object TextOps {
     *     occurrences, and the total 5-gram positions — the "fraction of
     *     characters in duplicated n-grams" family.
     *
-    * Plan shape: explode → groupBy(doc_id, gram) count (map-side
-    * combined) → per-doc min(struct(-cnt, gram)) — a second partial
-    * aggregation, no window — then doc_id-keyed joins of three
-    * already-aggregated (one row per doc) legs. */
+    * Scale shape: every signal is a PER-DOCUMENT statistic, so nothing
+    * needs to leave the row — the whole computation is a chain of
+    * per-row projections over higher-order built-ins with ZERO
+    * exchanges. Per-gram counts come from sorting each doc's gram array
+    * (`array_sort`, binary string order — the same collation the
+    * tie-break and the DuckDB oracle use) and run-length-encoding it:
+    * run starts via an index `filter`, run lengths via `zip_with`
+    * against the shifted starts. The earlier formulation exploded one
+    * row per gram position and shuffled a groupBy(doc_id, gram) — even
+    * map-side-combined, that exchange carries one ~50-byte gram string
+    * per DISTINCT gram per doc (≈ tokens/doc rows), then joined three
+    * aggregated legs back per doc: three shuffles and a string-keyed
+    * exchange of ~10¹⁵ rows at 10¹² docs, all to compute values that
+    * never depended on any other row. Each intermediate array is
+    * projected in its own step and referenced more than once, so
+    * CollapseProject keeps the stages separate and nothing non-cheap
+    * evaluates twice (`TextOpsSpec` guards the zero-exchange shape).
+    *
+    * Tie-break parity: runs arrive in ascending gram order, so the
+    * strictly-greater fold keeps the lexicographically smallest gram
+    * among count ties — identical to the previous min(struct(-cnt, g))
+    * and the oracle's ORDER BY cnt DESC, g ASC. */
   def repetitionSignals(docs: DataFrame): DataFrame = {
-    def gramCounts(n: Int) =
-      explodedGrams(docs, n, "g")
-        .groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
-    def top(n: Int, pfx: String) =
-      gramCounts(n)
-        .groupBy("doc_id")
-        .agg(min(struct((-col("cnt")).as("nc"), col("g").as("g"))).as("m"))
-        .select(col("doc_id"),
-          (-col("m.nc")).as(s"${pfx}_cnt"),
-          (-col("m.nc") * length(col("m.g"))).as(s"${pfx}_chars"))
-    val five = gramCounts(5)
-      .groupBy("doc_id").agg(
-        sum(when(col("cnt") >= 2, 1L).otherwise(0L)).as("dup5_distinct"),
-        sum(when(col("cnt") >= 2, col("cnt")).otherwise(0L)).as("dup5_occurrences"),
-        sum(col("cnt")).as("n5_grams"))
-    top(2, "top2").join(top(3, "top3"), "doc_id").join(five, "doc_id")
+    def sorted(n: Int) = array_sort(gramsOf(col("w"), n))
+    // 0-based positions where a new run starts in the sorted gram array s
+    def runStarts(s: Column) = filter(sequence(lit(0), size(s) - 1),
+      i => (i === 0) || (element_at(s, i + 1) =!= element_at(s, i)))
+    // (cnt, gram) per run: length = next run's start (or size) - own start
+    def runsOf(s: Column, starts: Column) = zip_with(
+      starts,
+      concat(slice(starts, lit(2), size(starts)), array(size(s))),
+      (a, b) => struct((b - a).cast("long").as("cnt"),
+        element_at(s, a + 1).as("g")))
+    // max by (cnt desc, g asc): strict > keeps the first (lex-smallest)
+    val zeroRun = struct(lit(0L).as("cnt"), lit("").as("g"))
+    def best(runs: Column) = aggregate(runs, zeroRun,
+      (acc, r) => when(r.getField("cnt") > acc.getField("cnt"), r).otherwise(acc))
+    def dupLens(runs: Column) = filter(runs, r => r.getField("cnt") >= 2)
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"), sorted(2).as("s2"), sorted(3).as("s3"), sorted(5).as("s5"))
+      .select(col("doc_id"),
+        col("s2"), runStarts(col("s2")).as("b2"),
+        col("s3"), runStarts(col("s3")).as("b3"),
+        col("s5"), runStarts(col("s5")).as("b5"),
+        size(col("s5")).cast("long").as("n5_grams"))
+      .select(col("doc_id"),
+        runsOf(col("s2"), col("b2")).as("r2"),
+        runsOf(col("s3"), col("b3")).as("r3"),
+        runsOf(col("s5"), col("b5")).as("r5"),
+        col("n5_grams"))
+      .select(col("doc_id"),
+        best(col("r2")).as("m2"), best(col("r3")).as("m3"),
+        dupLens(col("r5")).as("d5"), col("n5_grams"))
+      .select(col("doc_id"),
+        col("m2.cnt").as("top2_cnt"),
+        (col("m2.cnt") * length(col("m2.g"))).as("top2_chars"),
+        col("m3.cnt").as("top3_cnt"),
+        (col("m3.cnt") * length(col("m3.g"))).as("top3_chars"),
+        size(col("d5")).cast("long").as("dup5_distinct"),
+        aggregate(col("d5"), lit(0L), (acc, r) => acc + r.getField("cnt"))
+          .as("dup5_occurrences"),
+        col("n5_grams"))
   }
 
   /** Cross-document duplicated-gram coverage — the fixed-length-gram

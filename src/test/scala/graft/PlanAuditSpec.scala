@@ -102,15 +102,15 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fine codebook must attach via an equi-join on the coarse cell:\n$p")
   }
 
-  test("t16 repetition: partial aggregation, no window, no cartesian") {
+  test("t16 repetition: zero-exchange per-row projection") {
     val p = plan("t16_repetition")
     assertNoCartesian(p, "t16")
-    // top-gram selection is min(struct(-cnt, gram)) — a second partial
-    // aggregation, not a per-doc window sort
+    // every signal is per-document: run-length encoding over the sorted
+    // gram array per row — no shuffle, no explode, no window, no join
+    assert(!p.contains("Exchange"), s"t16 must not shuffle:\n$p")
+    assert(!p.contains("Generate"), s"t16 must not explode gram rows:\n$p")
     assert(!p.contains("WindowExec") && !p.contains(" Window "),
-      s"top-gram must come from a partial-aggregatable min, not a window:\n$p")
-    assert(p.contains("partial_min") || p.contains("HashAggregate"),
-      "gram counting and top-gram selection must be map-side combinable")
+      s"t16 must not window-sort:\n$p")
   }
 
   test("t17 cross-doc coverage: df attaches via gram equi-join, no cartesian") {

@@ -183,6 +183,22 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(3L) == Seq(1L, 4L, 1L, 4L, 0L, 0L, 1L))
   }
 
+  test("repetition signals are a zero-exchange per-row projection") {
+    // per-document statistics must not shuffle: no Exchange, no Generate
+    // (no gram explosion), no window — the whole plan is projections
+    // parquet-backed input: a LocalRelation would constant-fold the plan away
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = TextOps.repetitionSignals(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"repetition plan must not shuffle:\n$plan")
+    assert(!plan.contains("Generate"), s"repetition plan must not explode:\n$plan")
+    // the sorted gram arrays and run-start arrays are each referenced more
+    // than once; CollapseProject must keep them aliased (one array_sort
+    // per n per row, not one per reference)
+    val optimized = TextOps.repetitionSignals(d).queryExecution.optimizedPlan.toString
+    val sorts = "array_sort".r.findAllIn(optimized).length
+    assert(sorts == 3, s"expected one array_sort per n (3), saw $sorts:\n$optimized")
+  }
+
   test("cross-doc duplicated-gram coverage counts positions with corpus df >= 2") {
     val d = docs(
       1L -> "common phrase here unique one",
@@ -304,7 +320,7 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     // attribute but must not contain split itself.
     val d = docs(1L -> "alpha beta gamma delta epsilon")
     for (q <- Seq(TextOps.crossDupCoverage(d), TextOps.minhash(d),
-        TextOps.repetitionSignals(d), TextOps.jaccardPairs(d))) {
+        TextOps.jaccardPairs(d))) {
       val gens = q.queryExecution.optimizedPlan.collect {
         case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
       }
