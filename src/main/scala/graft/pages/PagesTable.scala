@@ -25,6 +25,7 @@ object PagesTable {
                              // at every level, narrow level still finishes
     case "sf0.1"   => 100000L
     case "sf0.3"   => 300000L
+    case "sf1"     => 1000000L // order-of-magnitude smoke over the bench SF
     case _         => 2000L
   }
 
