@@ -358,6 +358,35 @@ object SparkEntry {
           .select(col("url").as("doc_id"), col("text")))
         .withColumnRenamed("doc_id", "url")),
 
+    // ---- link-graph construction: per-page DOM link extraction — a pure
+    // projection over the pruned (url, html) scan, zero exchanges; the
+    // frontier url is resolved per edge (Outlinks.resolve) ----------------
+    "x14_outlinks" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .flatMap { case (u, h) =>
+          graft.html.Outlinks.extract(h).map(o =>
+            (u, o.pos, o.href, o.anchor, graft.html.Outlinks.resolve(u, o.href)))
+        }
+        .toDF("url", "pos", "href", "anchor", "target")
+    }),
+
+    // ---- link-graph in-degree: the one exchange hashes only the narrow
+    // (target, src_url) edge rows — the html payload never shuffles; the
+    // distinct-source count is the standard two-phase partial aggregate --
+    "x15_link_indegree" -> ((s, d) => {
+      import s.implicits._
+      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
+        .flatMap { case (u, h) =>
+          graft.html.Outlinks.extract(h)
+            .map(o => (graft.html.Outlinks.resolve(u, o.href), u))
+        }
+        .toDF("target", "src_url")
+        .groupBy("target")
+        .agg(count(lit(1)).as("in_deg"),
+          countDistinct(col("src_url")).as("n_src_pages"))
+    }),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -853,6 +882,32 @@ object SparkEntry {
                CAST(len(uniq) AS BIGINT) AS n_unique,
                array_to_string(uniq, chr(10)) AS dedup_text
              FROM d"""),
+      // PageGen emits every link as a flat double-quoted
+      // `<a href="...">text</a>` (no nested markup, no entities in either
+      // part — asserted over the full sf0.01 table), so a regex replays
+      // the DOM walk exactly; hrefs are all root-relative, so resolution
+      // reduces to origin || href on this corpus.
+      "x14_outlinks" ->
+        (s"""WITH e AS (
+               SELECT url,
+                 regexp_extract_all(decode(html),
+                   '<a href="([^"]*)">([^<]*)</a>', 1) AS hs,
+                 regexp_extract_all(decode(html),
+                   '<a href="([^"]*)">([^<]*)</a>', 2) AS an
+               FROM $pages)
+             SELECT url, CAST(i - 1 AS INT) AS pos, hs[i] AS href,
+               an[i] AS anchor,
+               regexp_extract(url, '^[a-z]+://[^/]+') || hs[i] AS target
+             FROM (SELECT url, hs, an,
+                     unnest(generate_series(1, len(hs))) AS i FROM e)"""),
+      "x15_link_indegree" ->
+        (s"""WITH e AS (
+               SELECT url, unnest(regexp_extract_all(decode(html),
+                 '<a href="([^"]*)">', 1)) AS href
+               FROM $pages)
+             SELECT regexp_extract(url, '^[a-z]+://[^/]+') || href AS target,
+               count(*) AS in_deg, count(DISTINCT url) AS n_src_pages
+             FROM e GROUP BY 1"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {
