@@ -200,6 +200,25 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // web-graph family (round 4): the zero-exchange edge projection +
+    // host-pair aggregation, and the 3-iteration integer-exact PageRank.
+    // Reported OUTSIDE the headline total — the total's composition is
+    // frozen to the r04 scale-path set (BASELINE.md).
+    locally {
+      val pages = spark.read.parquet(pagesPath)
+      val (_, g1Sec) = time {
+        graft.graph.GraphOps.hostGraph(graft.graph.GraphOps.edges(pages))
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "g1_host_graph" -> f"$g1Sec%.3f"
+      val (_, g3Sec) = time {
+        graft.graph.GraphOps.pagerank(spark, graft.graph.GraphOps.edges(pages))
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "g3_pagerank" -> f"$g3Sec%.3f"
+      spark.catalog.clearCache()
+    }
+
     // O(n²) baseline, reported separately — runs BEFORE the tier job so
     // it is the host-state control for the state the headline queries
     // actually measured in

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.extract.Extractor
+import graft.graph.GraphOps
 import graft.pages.PagesTable
 import graft.sim.Ann
 import graft.text.{LangId, ScriptId, TextOps}
@@ -37,6 +38,9 @@ object SparkEntry {
       .mapPartitions(_.map { case (u, h) => Extractor.extract(u, h) })
       .toDF()
   }
+
+  /** PageRank iterations for g3 — the oracle unrolls the same count. */
+  private val PrIters = 3
 
   private def docs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"$sfDir/documents.parquet")
@@ -361,31 +365,35 @@ object SparkEntry {
     // ---- link-graph construction: per-page DOM link extraction — a pure
     // projection over the pruned (url, html) scan, zero exchanges; the
     // frontier url is resolved per edge (Outlinks.resolve) ----------------
-    "x14_outlinks" -> ((s, d) => {
-      import s.implicits._
-      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
-        .flatMap { case (u, h) =>
-          graft.html.Outlinks.extract(h).map(o =>
-            (u, o.pos, o.href, o.anchor, graft.html.Outlinks.resolve(u, o.href)))
-        }
-        .toDF("url", "pos", "href", "anchor", "target")
-    }),
+    "x14_outlinks" -> ((s, d) =>
+      GraphOps.edges(pagesDf(s, d)).withColumnRenamed("src", "url")),
 
     // ---- link-graph in-degree: the one exchange hashes only the narrow
     // (target, src_url) edge rows — the html payload never shuffles; the
     // distinct-source count is the standard two-phase partial aggregate --
-    "x15_link_indegree" -> ((s, d) => {
-      import s.implicits._
-      pagesDf(s, d).select("url", "html").as[(String, Array[Byte])]
-        .flatMap { case (u, h) =>
-          graft.html.Outlinks.extract(h)
-            .map(o => (graft.html.Outlinks.resolve(u, o.href), u))
-        }
-        .toDF("target", "src_url")
+    "x15_link_indegree" -> ((s, d) =>
+      GraphOps.edges(pagesDf(s, d))
+        .select(col("target"), col("src").as("src_url"))
         .groupBy("target")
         .agg(count(lit(1)).as("in_deg"),
-          countDistinct(col("src_url")).as("n_src_pages"))
-    }),
+          countDistinct(col("src_url")).as("n_src_pages"))),
+
+    // ---- web-graph family (GraphOps over the outlink edge list) ---------
+    // host-level link graph: narrow host-pair keys, two-phase distincts
+    "g1_host_graph" -> ((s, d) => GraphOps.hostGraph(GraphOps.edges(pagesDf(s, d)))),
+
+    // per-target anchor-text signal: rank-1 window -> WindowGroupLimit
+    // partial top-k (skew-proof on the Zipf-shaped target key)
+    "g2_anchor_stats" -> ((s, d) => GraphOps.anchorStats(GraphOps.edges(pagesDf(s, d)))),
+
+    // integer-exact fixed-iteration PageRank: bit-identical mass under any
+    // partitioning (floor-division transfers), replayed by the oracle
+    "g3_pagerank" -> ((s, d) =>
+      GraphOps.pagerank(s, GraphOps.edges(pagesDf(s, d)), iterations = PrIters)),
+
+    // weakly-connected host components via the generic min-label engine
+    "g4_host_components" -> ((s, d) =>
+      GraphOps.hostComponents(s, GraphOps.edges(pagesDf(s, d)))),
 
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
@@ -462,6 +470,20 @@ object SparkEntry {
   def oracleSql: Map[String, String] = {
     val pagesDir = PagesTable.dirFor("sf0.01")
     val pages = s"read_parquet('$pagesDir/*.parquet')"
+    // resolved outlink edge list shared by the web-graph oracles (g1-g4):
+    // the regex replays the DOM walk because PageGen links are flat (see
+    // the x14 comment); two same-select unnests zip positionally in DuckDB
+    val edgeSql =
+      s"""SELECT url AS src, anchor,
+            CASE WHEN href LIKE '%://%' THEN href
+                 ELSE regexp_extract(url, '^[a-z]+://[^/]+') || href
+            END AS target
+          FROM (SELECT url,
+                  unnest(regexp_extract_all(decode(html),
+                    '<a href="([^"]*)">([^<]*)</a>', 1)) AS href,
+                  unnest(regexp_extract_all(decode(html),
+                    '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
+                FROM $pages)"""
     val spansG = s"read_parquet('${pagesDir}_spans/*.parquet')"
     val metaG = s"read_parquet('${pagesDir}_meta/*.parquet')"
     // expectation sidecars for the derived-box-set queries, produced by
@@ -885,8 +907,8 @@ object SparkEntry {
       // PageGen emits every link as a flat double-quoted
       // `<a href="...">text</a>` (no nested markup, no entities in either
       // part — asserted over the full sf0.01 table), so a regex replays
-      // the DOM walk exactly; hrefs are all root-relative, so resolution
-      // reduces to origin || href on this corpus.
+      // the DOM walk exactly; hrefs are absolute or root-relative, so
+      // resolution reduces to pass-through-or-prepend-origin.
       "x14_outlinks" ->
         (s"""WITH e AS (
                SELECT url,
@@ -897,7 +919,9 @@ object SparkEntry {
                FROM $pages)
              SELECT url, CAST(i - 1 AS INT) AS pos, hs[i] AS href,
                an[i] AS anchor,
-               regexp_extract(url, '^[a-z]+://[^/]+') || hs[i] AS target
+               CASE WHEN hs[i] LIKE '%://%' THEN hs[i]
+                    ELSE regexp_extract(url, '^[a-z]+://[^/]+') || hs[i]
+               END AS target
              FROM (SELECT url, hs, an,
                      unnest(generate_series(1, len(hs))) AS i FROM e)"""),
       "x15_link_indegree" ->
@@ -905,9 +929,85 @@ object SparkEntry {
                SELECT url, unnest(regexp_extract_all(decode(html),
                  '<a href="([^"]*)">', 1)) AS href
                FROM $pages)
-             SELECT regexp_extract(url, '^[a-z]+://[^/]+') || href AS target,
+             SELECT CASE WHEN href LIKE '%://%' THEN href
+                         ELSE regexp_extract(url, '^[a-z]+://[^/]+') || href
+                    END AS target,
                count(*) AS in_deg, count(DISTINCT url) AS n_src_pages
              FROM e GROUP BY 1"""),
+      "g1_host_graph" ->
+        (s"""WITH ed AS ($edgeSql)
+             SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src_host,
+               regexp_extract(target, '^[a-z]+://([^/]+)', 1) AS dst_host,
+               count(*) AS n_links, count(DISTINCT src) AS n_src_pages,
+               count(DISTINCT target) AS n_targets
+             FROM ed GROUP BY 1, 2"""),
+      "g2_anchor_stats" ->
+        (s"""WITH ed AS ($edgeSql),
+             c AS (SELECT target, anchor, count(*) AS cnt
+                   FROM ed GROUP BY 1, 2),
+             r AS (SELECT target, anchor, cnt,
+                     row_number() OVER (PARTITION BY target
+                       ORDER BY cnt DESC, anchor ASC) AS rn,
+                     CAST(sum(cnt) OVER (PARTITION BY target) AS BIGINT)
+                       AS n_links
+                   FROM c)
+             SELECT target, anchor AS top_anchor, cnt AS top_n, n_links
+             FROM r WHERE rn = 1"""),
+      // integer-exact PageRank, the same PrIters iterations unrolled:
+      // every mass transfer is a BIGINT floor-division (`//` here, `div`
+      // in the Spark plan), so the replay is bit-exact, not
+      // float-tolerance-exact
+      "g3_pagerank" -> {
+        val iters = (1 to PrIters).map { i =>
+          val p = i - 1
+          s"""in$i AS (SELECT ed.target AS node,
+                 CAST(sum(m.mass * 85 // 100 // m.od) AS BIGINT) AS im
+               FROM ed JOIN m$p m ON ed.src = m.node GROUP BY 1),
+             ds$i AS (SELECT CAST(coalesce(sum(mass * 85 // 100), 0)
+                 AS BIGINT) AS ds
+               FROM m$p WHERE od = 0),
+             m$i AS (SELECT m.node, m.od,
+                 CAST(150000000000 + coalesce(i.im, 0)
+                   + (SELECT ds FROM ds$i) // (SELECT c FROM nn)
+                 AS BIGINT) AS mass
+               FROM m$p m LEFT JOIN in$i i USING (node))"""
+        }.mkString(",\n")
+        s"""WITH ed AS ($edgeSql),
+            nodes AS (SELECT DISTINCT node FROM
+              (SELECT src AS node FROM ed
+               UNION ALL SELECT target FROM ed)),
+            deg AS (SELECT src AS node, count(*) AS od FROM ed GROUP BY 1),
+            nn AS (SELECT count(*) AS c FROM nodes),
+            m0 AS (SELECT n.node, coalesce(d.od, 0) AS od,
+                CAST(1000000000000 AS BIGINT) AS mass
+              FROM nodes n LEFT JOIN deg d USING (node)),
+            $iters
+            SELECT node, mass FROM m$PrIters"""
+      },
+      "g4_host_components" ->
+        // recursive reachability over the cross-host edge set — the
+        // unique fixpoint the Spark-side min-label propagation reaches
+        (s"""WITH RECURSIVE ed AS ($edgeSql),
+             hp AS (SELECT DISTINCT a, b FROM
+               (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS a,
+                  regexp_extract(target, '^[a-z]+://([^/]+)', 1) AS b
+                FROM ed) WHERE a <> b),
+             hosts AS (SELECT DISTINCT host FROM
+               (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS host
+                  FROM ed
+                UNION ALL
+                SELECT regexp_extract(target, '^[a-z]+://([^/]+)', 1)
+                  FROM ed)),
+             he AS (SELECT a AS src, b AS dst FROM hp
+                    UNION ALL SELECT b, a FROM hp),
+             reach AS (
+               SELECT host AS v, host AS r FROM hosts
+               UNION
+               SELECT e.src, reach.r FROM he e JOIN reach ON reach.v = e.dst),
+             comp AS (SELECT v AS host, min(r) AS component
+                      FROM reach GROUP BY v)
+             SELECT host, component, (host = component) AS is_keeper
+             FROM comp"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

@@ -1,0 +1,186 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Web-graph operators over the outlink edge list — the host-graph /
+  * link-analysis side of a Common-Crawl-style corpus pipeline (crawl
+  * frontier stats, per-host curation features, link-based quality
+  * signals for tier assignment). Reference scope: layout-parser is
+  * single-document and has no link stage; this family sits with the
+  * dedup/tiering ops in the "beyond the reference" pipeline surface.
+  *
+  * Scale stance shared by every op here: the html payload NEVER
+  * shuffles. [[edges]] is a zero-exchange projection of the pruned
+  * `(url, html)` scan; everything downstream exchanges only narrow
+  * `(src, target[, anchor])` edge rows keyed for partial aggregation.
+  * Link targets are Zipf-skewed by construction (popular pages), so
+  * each aggregate is shaped to survive key skew: counts go through
+  * two-phase partial aggregation (hot keys combine map-side), top-1
+  * anchors through the rank-1 window that Spark executes as a
+  * WindowGroupLimit partial top-k on the map side.
+  */
+object GraphOps {
+
+  /** One row per href-carrying anchor, in document order:
+    * `(src, pos, href, anchor, target)` with `target` resolved against
+    * the page url ([[graft.html.Outlinks.resolve]]). Pure per-row
+    * projection — zero exchanges; the per-page DOM arena is bounded by
+    * page size (the extraction job's memory contract).
+    */
+  def edges(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select("url", "html").as[(String, Array[Byte])]
+      .flatMap { case (u, h) =>
+        graft.html.Outlinks.extract(h).map(o =>
+          (u, o.pos, o.href, o.anchor, graft.html.Outlinks.resolve(u, o.href)))
+      }
+      .toDF("src", "pos", "href", "anchor", "target")
+  }
+
+  /** `scheme://host` → host. */
+  def hostOf(url: Column): Column = regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+
+  /** Host-level link graph: one row per (source host, destination host)
+    * pair with link count, distinct linking pages and distinct targets.
+    * The one exchange hashes the narrow host-pair key; the two distinct
+    * counts expand to the standard two-phase partial-distinct plan.
+    */
+  def hostGraph(edges: DataFrame): DataFrame =
+    edges
+      .select(hostOf(col("src")).as("src_host"),
+        hostOf(col("target")).as("dst_host"),
+        col("src"), col("target"))
+      .groupBy("src_host", "dst_host")
+      .agg(count(lit(1)).as("n_links"),
+        countDistinct(col("src")).as("n_src_pages"),
+        countDistinct(col("target")).as("n_targets"))
+
+  /** Per-target anchor-text signal — the classic link-text relevance
+    * feature (anchor text describes the TARGET page; at corpus scale it
+    * is training-data gold for retrieval / ranking): for every link
+    * target, the most common anchor string (ties broken
+    * lexicographically — deterministic), its count, and the target's
+    * total in-link count. Plan: two-phase count aggregation on
+    * (target, anchor), then a rank-1 window Spark runs as a
+    * WindowGroupLimit partial top-k — hot targets never funnel all
+    * their anchor rows through one reducer unreduced.
+    */
+  def anchorStats(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = edges.groupBy("target", "anchor").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("target")
+    val rankW = w.orderBy(col("cnt").desc, col("anchor").asc)
+    counted
+      .withColumn("n_links", sum(col("cnt")).over(w))
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") === 1)
+      .select(col("target"), col("anchor").as("top_anchor"),
+        col("cnt").as("top_n"), col("n_links"))
+  }
+
+  /** Weakly-connected components of the host graph (cross-host edges
+    * only; every host that appears anywhere is labelled, hosts with no
+    * cross-host edges are their own singleton component). Reuses the
+    * generic distributed min-label propagation
+    * ([[graft.sim.Components.keepers]] — edge-list shuffles only,
+    * re-rooted plan per round, loud non-convergence). Output:
+    * `(host, component, is_keeper)` with component = min reachable host.
+    */
+  def hostComponents(spark: SparkSession, edges: DataFrame): DataFrame = {
+    val hostEdges = edges
+      .select(hostOf(col("src")).as("a"), hostOf(col("target")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val hosts = edges
+      .select(hostOf(col("src")).as("host"))
+      .union(edges.select(hostOf(col("target")).as("host")))
+      .distinct()
+    graft.sim.Components.keepers(spark, hosts, hostEdges)
+  }
+
+  /** Per-node mass used by [[pagerank]] at iteration 0. 10^12 per node:
+    * big enough that 3–5 iterations of 15%/85% integer splits keep ~9
+    * significant digits, small enough that the total (n × 10^12) stays
+    * inside Long up to n ≈ 9×10^6 nodes per mass-sum — and the per-sum
+    * bound is what matters: sums are per-target (in-degree-bounded) and
+    * one global dangling sum, which at 10^12 nodes would be re-scaled
+    * (initMass = 10^6) by the caller; the parameter exists for exactly
+    * that. */
+  val DefaultInitMass: Long = 1000000000000L
+
+  /** Fixed-iteration PageRank over `edges(src, target)` in EXACT integer
+    * arithmetic — every mass transfer is a Long floor-division
+    * (`mass * 85 div 100 div outdeg`), so the result is bit-identical
+    * regardless of partitioning, join order, or engine (the DuckDB
+    * oracle replays it with `//`): a deterministic link-quality score
+    * for tier assignment, not a float that drifts with aggregation
+    * order. Semantics per iteration, damping fixed at 0.85:
+    *
+    *   mass'(v) = initMass·15/100
+    *            + Σ_{u→v} (mass(u)·85/100) div outdeg(u)   [per EDGE —
+    *              parallel edges count twice, like the random surfer]
+    *            + (Σ_{dangling u} mass(u)·85/100) div n    [dangling mass
+    *              redistributed uniformly]
+    *
+    * (floor remainders are dropped — bounded by 1 unit per term, i.e. a
+    * 10^-12 relative quantization, the documented price of exactness).
+    *
+    * Plan shape per iteration: one equi-join of the edge list with the
+    * current mass table on `src` (both sides narrow), one partial-
+    * aggregated groupBy on `target`, one 1-row dangling aggregate
+    * broadcast back via crossJoin — nothing quadratic, no driver-side
+    * graph, no floats. Each iteration's result is persisted and
+    * materialized before the previous is released, so the lineage stays
+    * one iteration deep (at tens of iterations a checkpoint would
+    * replace the persist; 3–5 iterations is the curation-signal
+    * regime). The returned frame is small (one row per node) and left
+    * unpersisted.
+    */
+  def pagerank(spark: SparkSession, edges: DataFrame, iterations: Int = 3,
+               initMass: Long = DefaultInitMass): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("target"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("od"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("target").as("node")))
+      .distinct()
+    var cur = nodes.join(deg, Seq("node"), "left")
+      .select(col("node"), coalesce(col("od"), lit(0L)).as("od"),
+        lit(initMass).as("mass"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // n is one scalar off the just-persisted node table (the same pass
+    // that materializes it) — constant across iterations
+    val n = cur.count()
+    val base = initMass * 15L / 100L
+    var it = 0
+    while (it < iterations) {
+      val contrib = e.join(cur.hint("shuffle_hash"), e("src") === cur("node"))
+        .select(col("target").as("node"),
+          expr("mass * 85 div 100 div od").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val dangling = cur.filter(col("od") === 0L)
+        .agg(coalesce(sum(expr("mass * 85 div 100")), lit(0L)).as("ds"))
+      val next = cur.select("node", "od")
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("od"),
+          (lit(base) + coalesce(col("in_mass"), lit(0L)) +
+            expr(s"ds div ${n}L")).as("mass"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the input it reads
+      cur.unpersist()
+      cur = next
+      it += 1
+    }
+    e.unpersist()
+    // the final iteration's table is already persisted + materialized;
+    // hand it out with a one-shot release so the caller's first action
+    // reads the cached blocks and then frees them (no session-lifetime
+    // cache, no caller-side clearCache contract)
+    graft.util.CacheOnce.release(cur).select("node", "mass")
+  }
+}

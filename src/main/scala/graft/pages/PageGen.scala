@@ -231,13 +231,30 @@ object PageGen {
     (hb.toString, eb.toString)
   }
 
+  /** Chrome link lists (header/nav/sidebar/related/footer). Link TARGETS
+    * model a crawl frontier: the raw draw is squared down (`t*t/1000`) so
+    * target ids concentrate toward low values — a Zipf-ish in-degree tail
+    * like a real host graph, so downstream link-graph aggregations see
+    * genuine key skew — and every 5th draw becomes an ABSOLUTE cross-host
+    * href (target host = `site{id%500}`), the rest stay root-relative.
+    * Both the skew map and the absolute/relative split are pure functions
+    * of the single existing `nextInt(1000)` draw: the RNG stream, the
+    * anchor text, and therefore the extracted text and span geometry are
+    * all IDENTICAL to the previous generator version — only href bytes
+    * differ (PagesTable.Version still bumps; the html changes).
+    */
   private def linkList(r: Rng, vocab: IndexedSeq[String], n: Int, attr: Attr): String =
     (0 until n).map { k =>
       if (k > 0) attr.add("|")
       val w1 = r.pick(vocab)
       val w2 = r.pick(vocab)
       attr.add(w1); attr.add(w2)
-      s"""<a href="/x/${r.nextInt(1000)}">$w1 $w2</a>"""
+      val t = r.nextInt(1000)
+      val id = t * t / 1000
+      val href =
+        if (t % 5 == 0) s"https://site${id % 500}.example.org/x/$id"
+        else s"/x/$id"
+      s"""<a href="$href">$w1 $w2</a>"""
     }.mkString(" | ")
 
   /** Generate page #idx under `seed`, with golden sidecar rows. */

@@ -15,7 +15,7 @@ import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
   */
 object PagesTable {
   val Seed = 42L
-  val Version = "v4"
+  val Version = "v5" // v5: skewed + partly cross-host link targets (hrefs only; text/spans unchanged)
 
   /** Row count per scale-factor directory name. */
   def rowsFor(sfName: String): Long = sfName match {

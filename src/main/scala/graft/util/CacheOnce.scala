@@ -37,8 +37,16 @@ object CacheOnce {
 
   def apply(df: DataFrame,
             level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
-    val cached = df.persist(level)
-    val spark = df.sparkSession
+    release(df.persist(level))
+  }
+
+  /** Register the one-shot release on an ALREADY-persisted frame — for
+    * producers that materialize the frame themselves before handing it
+    * out (iterative loops persist + count each round; `apply` here
+    * would release on that internal count). The first completed action
+    * whose plan contains the frame after THIS call unpersists it. */
+  def release(cached: DataFrame): DataFrame = {
+    val spark = cached.sparkSession
     val target = cached.queryExecution.analyzed
     val listener = new QueryExecutionListener {
       private val done = new AtomicBoolean(false)

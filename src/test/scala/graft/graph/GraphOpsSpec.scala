@@ -1,0 +1,146 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Web-graph operator semantics against plain-Scala reference
+  * implementations on hand-checkable graphs, plus the two properties
+  * that make the ops production-grade: bit-identical results under any
+  * partitioning (integer PageRank) and cache self-release. */
+class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def edgeDf(edges: Seq[(String, String)]) = {
+    val s = spark
+    import s.implicits._
+    edges.toDF("src", "target")
+  }
+
+  /** Plain-Scala replay of GraphOps.pagerank's exact integer semantics:
+    * per-EDGE contribution (mass*85/100)/outdeg (parallel edges count
+    * twice), dangling mass pooled then floor-shared to every node, base
+    * = init*15/100. */
+  private def refPagerank(edges: Seq[(String, String)], iters: Int,
+                          init: Long = GraphOps.DefaultInitMass): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = nodes.size.toLong
+    val base = init * 15L / 100L
+    var mass = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val outM = mass.view.mapValues(m => m * 85L / 100L).toMap
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => outM(u) / od(u) }.sum).toMap
+      val ds = nodes.iterator.filter(u => !od.contains(u)).map(outM).sum
+      mass = nodes.map(u => u -> (base + in.getOrElse(u, 0L) + ds / n)).toMap
+    }
+    mass
+  }
+
+  // a graph with everything the semantics must cover: a parallel edge
+  // (a->b twice), a dangling node (d has no outlinks), a cycle (a<->c),
+  // and an in-degree-0 node (a)
+  private val g = Seq(
+    ("a", "b"), ("a", "b"), ("a", "c"), ("c", "a"), ("b", "d"))
+
+  test("pagerank matches the plain-Scala integer reference on a crafted graph") {
+    val got = GraphOps.pagerank(spark, edgeDf(g), iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refPagerank(g, iters = 2))
+  }
+
+  test("pagerank is bit-identical under different partitioning") {
+    val a = GraphOps.pagerank(spark, edgeDf(g).repartition(7), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pagerank(spark, edgeDf(g).repartition(1), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a == refPagerank(g, iters = 3))
+  }
+
+  test("pagerank conserves mass up to floor remainders and favours the cycle") {
+    val got = GraphOps.pagerank(spark, edgeDf(g), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = got.values.sum
+    val n = got.size
+    // every node loses at most a few units per iteration to flooring
+    assert(total <= n * GraphOps.DefaultInitMass)
+    assert(total > n * GraphOps.DefaultInitMass - 1000L * n)
+    // b receives 2/3 of a's outflow (parallel edge), c only 1/3; both
+    // get the same base + dangling share, so b outranks c every iteration
+    assert(got("b") > got("c"))
+  }
+
+  test("pagerank releases every persisted intermediate after the consuming action") {
+    spark.catalog.clearCache()
+    def drained(): Boolean =
+      spark.sparkContext.getPersistentRDDs.isEmpty &&
+        spark.sharedState.cacheManager.isEmpty
+    assert(GraphOps.pagerank(spark, edgeDf(g), iterations = 2).count() > 0)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!drained() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(drained(), "pagerank must self-release its persisted iteration tables")
+  }
+
+  test("hostGraph aggregates narrow host pairs with distinct counts") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      ("https://h1.org/p1", "https://h2.org/x"),
+      ("https://h1.org/p1", "https://h2.org/y"),
+      ("https://h1.org/p2", "https://h2.org/x"),
+      ("https://h1.org/p1", "https://h1.org/z"))
+      .toDF("src", "target")
+    val got = GraphOps.hostGraph(e).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got == Map(
+      ("h1.org", "h2.org") -> ((3L, 2L, 2L)),
+      ("h1.org", "h1.org") -> ((1L, 1L, 1L))))
+  }
+
+  test("anchorStats picks the most common anchor, ties lexicographic") {
+    val s = spark
+    import s.implicits._
+    val e = Seq(
+      ("u1", "t", "beta"), ("u2", "t", "beta"), ("u3", "t", "alpha"),
+      ("u4", "t2", "zz"), ("u5", "t2", "aa"))
+      .toDF("src", "target", "anchor")
+    val got = GraphOps.anchorStats(e).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // t: beta wins on count; t2: 1-1 tie -> lexicographically first (aa)
+    assert(got == Map(
+      "t" -> (("beta", 2L, 3L)),
+      "t2" -> (("aa", 1L, 2L))))
+  }
+
+  test("hostComponents labels cross-host clusters and keeps singletons") {
+    val s = spark
+    import s.implicits._
+    // cluster {h1,h2,h3} via h1->h2, h2->h3; h9 only self-links
+    val e = Seq(
+      ("https://h1.org/a", "https://h2.org/x"),
+      ("https://h2.org/b", "https://h3.org/y"),
+      ("https://h9.org/c", "https://h9.org/d"))
+      .toDF("src", "target")
+    val got = GraphOps.hostComponents(spark, e).collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(got == Map(
+      "h1.org" -> (("h1.org", true)),
+      "h2.org" -> (("h1.org", false)),
+      "h3.org" -> (("h1.org", false)),
+      "h9.org" -> (("h9.org", true))))
+  }
+}
