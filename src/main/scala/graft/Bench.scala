@@ -204,19 +204,29 @@ object Bench {
     // host-pair aggregation, and the 3-iteration integer-exact PageRank.
     // Reported OUTSIDE the headline total — the total's composition is
     // frozen to the r04 scale-path set (BASELINE.md).
+    // best-of-2 like extraction: the Outlinks/DOM tuple pipeline JITs on
+    // first use (the extraction warmup warms Extractor, not this path) —
+    // rep 1 measures compiler ramp, not the operator
     locally {
       val pages = spark.read.parquet(pagesPath)
-      val (_, g1Sec) = time {
-        graft.graph.GraphOps.hostGraph(graft.graph.GraphOps.edges(pages))
-          .write.mode("overwrite").format("noop").save()
-      }
+      val g1Sec = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          graft.graph.GraphOps.hostGraph(graft.graph.GraphOps.edges(pages))
+            .write.mode("overwrite").format("noop").save()
+        }
+        spark.catalog.clearCache()
+        sec
+      }.min
       extras += "g1_host_graph" -> f"$g1Sec%.3f"
-      val (_, g3Sec) = time {
-        graft.graph.GraphOps.pagerank(spark, graft.graph.GraphOps.edges(pages))
-          .write.mode("overwrite").format("noop").save()
-      }
+      val g3Sec = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          graft.graph.GraphOps.pagerank(spark, graft.graph.GraphOps.edges(pages))
+            .write.mode("overwrite").format("noop").save()
+        }
+        spark.catalog.clearCache()
+        sec
+      }.min
       extras += "g3_pagerank" -> f"$g3Sec%.3f"
-      spark.catalog.clearCache()
     }
 
     // O(n²) baseline, reported separately — runs BEFORE the tier job so

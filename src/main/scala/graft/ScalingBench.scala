@@ -16,6 +16,11 @@ import graft.pages.PagesTable
   *   instead — the extracted corpus is materialised ONCE (untimed) and
   *   shared read-only by every level, so each timed run is exactly the
   *   tier rules + tier-partitioned rewrite.
+  *   mode `graph`: measures the iterative web-graph job — outlink edge
+  *   projection + 3-iteration integer PageRank
+  *   ([[graft.graph.GraphOps.pagerank]]) over the shared pages table;
+  *   per-iteration cost is one keyed shuffle of the narrow edge list,
+  *   so this is the shuffle-bound-iteration workload class.
   */
 object ScalingBench {
   def main(args: Array[String]): Unit = {
@@ -117,10 +122,15 @@ object ScalingBench {
         }
         val g0 = gcMs
         val t0 = System.nanoTime()
-        extractedRoot match {
-          case Some(root) =>
+        (mode, extractedRoot) match {
+          case ("tier", Some(root)) =>
             graft.jobs.TierJob.run(spark, root, out).collect()
-          case None =>
+          case ("graph", _) =>
+            graft.graph.GraphOps.pagerank(spark,
+                graft.graph.GraphOps.edges(spark.read.parquet(pagesPath)))
+              .write.mode("overwrite").format("noop").save()
+            spark.catalog.clearCache()
+          case _ =>
             ExtractionJob.run(spark, JobConfig(pagesPath, out, runId = s"s$runSeq"))
         }
         val sec = (System.nanoTime() - t0) / 1e9

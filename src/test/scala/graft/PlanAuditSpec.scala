@@ -257,4 +257,43 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"),
       s"per-host cap must push partial top-k below the exchange:\n$p")
   }
+
+  test("g1 host graph: pruned (url,html) scan, partial-aggregated host-pair rollup") {
+    val p = plan("g1_host_graph")
+    assertNoCartesian(p, "g1")
+    assert(p.contains("ReadSchema: struct<url:string,html:binary>"),
+      s"edge projection must prune the pages scan to url+html:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"host-pair counts must partial-aggregate (hot hosts combine map-side):\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"a pure rollup must not plan a join:\n$p")
+  }
+
+  test("g2 anchor stats: rank-1 filter compiles to WindowGroupLimit on the skewed target key") {
+    val p = plan("g2_anchor_stats")
+    assertNoCartesian(p, "g2")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-anchor must push partial top-k below the exchange:\n$p")
+  }
+
+  test("g3 pagerank iteration: edge-mass equi-join + partial agg + 1-row dangling broadcast") {
+    // one step's plan (the loop persists each step; the audited shape is
+    // what every iteration pays at 10^12 edges)
+    val pages = spark.read.parquet(graft.pages.PagesTable.ensure(spark, "sf0.001"))
+    val e = graft.graph.GraphOps.edges(pages)
+    val cur = e.select(org.apache.spark.sql.functions.col("src").as("node"))
+      .distinct()
+      .withColumn("od", org.apache.spark.sql.functions.lit(1L))
+      .withColumn("mass",
+        org.apache.spark.sql.functions.lit(graft.graph.GraphOps.DefaultInitMass))
+    val p = graft.graph.GraphOps.pagerankIteration(e, cur, n = 100L, base = 1L)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(p, "g3 iteration")
+    assert(p.contains("ShuffledHashJoin") || p.contains("SortMergeJoin"),
+      s"mass must meet the edge list via the src equi-join (narrow rows):\n$p")
+    assert(p.contains("HashAggregate"),
+      s"per-target inflow must partial-aggregate map-side:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the dangling sum is a 1-row aggregate and must return by broadcast:\n$p")
+  }
 }
