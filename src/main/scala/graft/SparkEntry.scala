@@ -378,6 +378,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("in_deg"),
           countDistinct(col("src_url")).as("n_src_pages"))),
 
+    // ---- url canonicalization: the dedup key before any url-level join.
+    // The corpus's urls are already clean, so the query decorates them
+    // deterministically (variant = length % 4: upper+fragment, explicit
+    // :443, trailing '?', unchanged) and canonicalizes the decorated form
+    // — every rule branch executes on real rows and the oracle replays
+    // the identical chain. Pure codegen'd projection, zero exchanges. ---
+    "x16_url_canon" -> ((s, d) => {
+      val u = col("url")
+      val decorated = when(length(u) % 4 === 0, concat(upper(u), lit("#FRAG")))
+        .when(length(u) % 4 === 1,
+          regexp_replace(u, "^(https://[^/]+)", "$1:443"))
+        .when(length(u) % 4 === 2, concat(u, lit("?")))
+        .otherwise(u)
+      pagesDf(s, d).select(u.as("url"), decorated.as("decorated"),
+        graft.web.UrlNorm.canonical(decorated).as("canon"))
+    }),
+
     // ---- web-graph family (GraphOps over the outlink edge list) ---------
     // host-level link graph: narrow host-pair keys, two-phase distincts
     "g1_host_graph" -> ((s, d) => GraphOps.hostGraph(GraphOps.edges(pagesDf(s, d)))),
@@ -934,6 +951,35 @@ object SparkEntry {
                     END AS target,
                count(*) AS in_deg, count(DISTINCT url) AS n_src_pages
              FROM e GROUP BY 1"""),
+      "x16_url_canon" ->
+        (s"""WITH d AS (
+               SELECT url,
+                 CASE CAST(length(url) % 4 AS INT)
+                   WHEN 0 THEN upper(url) || '#FRAG'
+                   WHEN 1 THEN regexp_replace(url, '^(https://[^/]+)', '\\1:443')
+                   WHEN 2 THEN url || '?'
+                   ELSE url END AS decorated
+               FROM $pages),
+             c AS (SELECT url, decorated,
+                     regexp_replace(decorated, '#.*', '') AS nofrag FROM d),
+             e AS (SELECT url, decorated, nofrag,
+                     regexp_extract(nofrag,
+                       '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth
+                   FROM c),
+             f AS (SELECT url, decorated,
+                     CASE WHEN lower(auth) LIKE 'http://%'
+                            THEN regexp_replace(lower(auth), ':80$$', '')
+                          WHEN lower(auth) LIKE 'https://%'
+                            THEN regexp_replace(lower(auth), ':443$$', '')
+                          ELSE lower(auth) END AS a2,
+                     regexp_replace(substr(nofrag, length(auth) + 1),
+                       '\\?$$', '') AS rest,
+                     length(auth) AS la
+                   FROM e)
+             SELECT url, decorated,
+               a2 || CASE WHEN la > 0 AND length(rest) = 0
+                          THEN '/' ELSE rest END AS canon
+             FROM f"""),
       "g1_host_graph" ->
         (s"""WITH ed AS ($edgeSql)
              SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS src_host,
