@@ -99,6 +99,26 @@ object StreamingExtraction {
       .withColumnRenamed("doc_id", "url")
   }
 
+  /** Streaming outlink extraction at ingest — the web-graph feed: one
+    * resolved edge row per href-carrying anchor, event-time stamped from
+    * the page. A stateless flatMap (no state store, no watermark, no
+    * shuffle), so the edge stream lands in its sink partitioned however
+    * the ingest stream is; the batch [[graft.graph.GraphOps]] family
+    * (in-degree, host graph, PageRank) runs over the accumulated edge
+    * table. Stream/batch agreement with [[graft.graph.GraphOps.edges]]
+    * is asserted in `StreamingExtractionSpec`. */
+  def outlinkEdges(pages: DataFrame): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select("url", "warc_ts", "html")
+      .as[(String, java.sql.Timestamp, Array[Byte])]
+      .flatMap { case (u, ts, h) =>
+        graft.html.Outlinks.extract(h).map(o =>
+          (u, ts, o.pos, o.href, o.anchor, graft.html.Outlinks.resolve(u, o.href)))
+      }
+      .toDF("src", "warc_ts", "pos", "href", "anchor", "target")
+  }
+
   /** Streaming exact dedup: first-seen wins per content hash, with the
     * state store bounded by the event-time watermark — the streaming
     * analogue of the batch `t3_dedup_exact` groupBy (a crawl ingest

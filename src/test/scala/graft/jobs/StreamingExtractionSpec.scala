@@ -151,6 +151,33 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.values.exists(_._1 > 0), "some lines must survive the filter")
   }
 
+  test("streaming outlink edges: stateless flatMap, batch-identical edge set") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val source = MemoryStream[graft.pages.PageRow]
+    val q = StreamingExtraction.outlinkEdges(source.toDF())
+      .writeStream.format("memory").queryName("edges_stream")
+      .outputMode("append").start()
+    val rows = graft.pages.PageGen.pages(13L, 0, 40).toSeq
+    source.addData(rows: _*)
+    q.processAllAvailable()
+    assert(!q.lastProgress.toString.contains("stateOperators\" : [ {"),
+      s"edge extraction must run stateless:\n${q.lastProgress}")
+    val got = spark.sql("SELECT src, pos, href, anchor, target FROM edges_stream")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    q.stop()
+    assert(got.nonEmpty, "generated pages carry links")
+    // identical to the batch edge derivation over the same rows
+    val want = graft.graph.GraphOps.edges(rows.toDF())
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == want, "stream and batch edge sets must agree")
+  }
+
   test("streaming LSH candidates: banded collisions against first-seen reps, replay-exact") {
     val s = spark
     import s.implicits._
