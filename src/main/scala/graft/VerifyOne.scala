@@ -6,7 +6,7 @@ import org.apache.spark.sql.SparkSession
   * <name>... [--sf <sfDir>]` writes just the named SparkEntry queries to
   * `outDir/<name>` parquet plus their oracle SQL to
   * `outDir/oracle_sql.json` — the per-query iteration loop that the full
-  * Verify (59 sequential queries) is too slow for when developing one op.
+  * Verify (75 sequential queries) is too slow for when developing one op.
   * Same sink shape as Verify, so the driver-style DuckDB compare replays
   * unchanged on the subset.
   */
