@@ -412,6 +412,26 @@ object SparkEntry {
     "g4_host_components" -> ((s, d) =>
       GraphOps.hostComponents(s, GraphOps.edges(pagesDf(s, d)))),
 
+    // host-level link-quality features: one persisted narrow edge list
+    // feeds PageRank + the out/in rollups (html parsed once, never
+    // shuffled); every number integer-exact, replayed by the oracle
+    "g5_host_link_features" -> ((s, d) =>
+      GraphOps.hostLinkFeatures(s, GraphOps.edges(pagesDf(s, d)),
+        iterations = PrIters)),
+
+    // the capstone composition: extraction → text tier rules → link
+    // endorsement bump (tier 2→3 on hosts with ≥2× mean PageRank mass).
+    // The tier table never shuffles — the host side broadcasts.
+    "g6_link_tiers" -> ((s, d) => {
+      val tiers = TextOps.tierAssign(
+        graft.util.CacheOnce(extractedDf(s, d)
+          .select(col("url").as("doc_id"), col("text"))))
+        .withColumnRenamed("doc_id", "url")
+      val feats = GraphOps.hostLinkFeatures(s, GraphOps.edges(pagesDf(s, d)),
+        iterations = PrIters)
+      GraphOps.linkTiers(tiers, feats)
+    }),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -501,6 +521,41 @@ object SparkEntry {
                   unnest(regexp_extract_all(decode(html),
                     '<a href="([^"]*)">([^<]*)</a>', 2)) AS anchor
                 FROM $pages)"""
+    // the integer-exact PageRank replay (PrIters iterations unrolled),
+    // shared by g3 (whole result) and g5/g6 (nested-WITH subquery)
+    val pagerankSelect = {
+      val iters = (1 to PrIters).map { i =>
+        val p = i - 1
+        s"""in$i AS (SELECT ed.target AS node,
+               CAST(sum(m.mass * 85 // 100 // m.od) AS BIGINT) AS im
+             FROM ed JOIN m$p m ON ed.src = m.node GROUP BY 1),
+           ds$i AS (SELECT CAST(coalesce(sum(mass * 85 // 100), 0)
+               AS BIGINT) AS ds
+             FROM m$p WHERE od = 0),
+           m$i AS (SELECT m.node, m.od,
+               CAST(150000000000 + coalesce(i.im, 0)
+                 + (SELECT ds FROM ds$i) // (SELECT c FROM nn)
+               AS BIGINT) AS mass
+             FROM m$p m LEFT JOIN in$i i USING (node))"""
+      }.mkString(",\n")
+      s"""WITH ed AS ($edgeSql),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM ed
+             UNION ALL SELECT target FROM ed)),
+          deg AS (SELECT src AS node, count(*) AS od FROM ed GROUP BY 1),
+          nn AS (SELECT count(*) AS c FROM nodes),
+          m0 AS (SELECT n.node, coalesce(d.od, 0) AS od,
+              CAST(1000000000000 AS BIGINT) AS mass
+            FROM nodes n LEFT JOIN deg d USING (node)),
+          $iters
+          SELECT node, mass FROM m$PrIters"""
+    }
+    val hostRe = "'^[a-z]+://([^/]+)'"
+    // per-host feature rollup over the PageRank replay — shared g5/g6
+    val hostMassSql =
+      s"""SELECT regexp_extract(node, $hostRe, 1) AS host,
+            CAST(sum(mass) AS BIGINT) AS pr_mass
+          FROM pr GROUP BY 1"""
     val spansG = s"read_parquet('${pagesDir}_spans/*.parquet')"
     val metaG = s"read_parquet('${pagesDir}_meta/*.parquet')"
     // expectation sidecars for the derived-box-set queries, produced by
@@ -1002,34 +1057,9 @@ object SparkEntry {
       // integer-exact PageRank, the same PrIters iterations unrolled:
       // every mass transfer is a BIGINT floor-division (`//` here, `div`
       // in the Spark plan), so the replay is bit-exact, not
-      // float-tolerance-exact
-      "g3_pagerank" -> {
-        val iters = (1 to PrIters).map { i =>
-          val p = i - 1
-          s"""in$i AS (SELECT ed.target AS node,
-                 CAST(sum(m.mass * 85 // 100 // m.od) AS BIGINT) AS im
-               FROM ed JOIN m$p m ON ed.src = m.node GROUP BY 1),
-             ds$i AS (SELECT CAST(coalesce(sum(mass * 85 // 100), 0)
-                 AS BIGINT) AS ds
-               FROM m$p WHERE od = 0),
-             m$i AS (SELECT m.node, m.od,
-                 CAST(150000000000 + coalesce(i.im, 0)
-                   + (SELECT ds FROM ds$i) // (SELECT c FROM nn)
-                 AS BIGINT) AS mass
-               FROM m$p m LEFT JOIN in$i i USING (node))"""
-        }.mkString(",\n")
-        s"""WITH ed AS ($edgeSql),
-            nodes AS (SELECT DISTINCT node FROM
-              (SELECT src AS node FROM ed
-               UNION ALL SELECT target FROM ed)),
-            deg AS (SELECT src AS node, count(*) AS od FROM ed GROUP BY 1),
-            nn AS (SELECT count(*) AS c FROM nodes),
-            m0 AS (SELECT n.node, coalesce(d.od, 0) AS od,
-                CAST(1000000000000 AS BIGINT) AS mass
-              FROM nodes n LEFT JOIN deg d USING (node)),
-            $iters
-            SELECT node, mass FROM m$PrIters"""
-      },
+      // float-tolerance-exact (pagerankSelect is hoisted above the Map —
+      // g5/g6 embed the identical replay as a nested-WITH subquery)
+      "g3_pagerank" -> pagerankSelect,
       "g4_host_components" ->
         // recursive reachability over the cross-host edge set — the
         // unique fixpoint the Spark-side min-label propagation reaches
@@ -1054,6 +1084,42 @@ object SparkEntry {
                       FROM reach GROUP BY v)
              SELECT host, component, (host = component) AS is_keeper
              FROM comp"""),
+      "g5_host_link_features" ->
+        (s"""WITH pr AS ($pagerankSelect),
+             ed AS ($edgeSql),
+             mass AS ($hostMassSql),
+             o AS (SELECT regexp_extract(src, $hostRe, 1) AS host,
+                     count(*) AS out_links FROM ed GROUP BY 1),
+             i AS (SELECT regexp_extract(target, $hostRe, 1) AS host,
+                     count(*) AS in_links,
+                     count(DISTINCT regexp_extract(src, $hostRe, 1))
+                       AS in_hosts
+                   FROM ed GROUP BY 1)
+             SELECT mass.host,
+               CAST(coalesce(o.out_links, 0) AS BIGINT) AS out_links,
+               CAST(coalesce(i.in_links, 0) AS BIGINT) AS in_links,
+               CAST(coalesce(i.in_hosts, 0) AS BIGINT) AS in_hosts,
+               pr_mass
+             FROM mass LEFT JOIN o USING (host) LEFT JOIN i USING (host)"""),
+      // text tiers bumped by link endorsement: host PageRank mass >= 2x
+      // the mean host mass, tested multiplication-only (bit-exact)
+      "g6_link_tiers" ->
+        (s"""WITH tiers AS (
+               ${tierSql(s"(SELECT url AS doc_id, text FROM $pages)", "url")}),
+             pr AS ($pagerankSelect),
+             mass AS ($hostMassSql),
+             st AS (SELECT count(*) AS n_hosts,
+                      CAST(sum(pr_mass) AS BIGINT) AS total_mass FROM mass),
+             en AS (SELECT host,
+                      (pr_mass >= 2 * ((SELECT total_mass FROM st)
+                         // (SELECT n_hosts FROM st))) AS endorsed
+                    FROM mass)
+             SELECT t.url, t.tier AS text_tier,
+               coalesce(en.endorsed, false) AS endorsed,
+               CASE WHEN t.tier = 2 AND coalesce(en.endorsed, false)
+                    THEN 3 ELSE t.tier END AS tier
+             FROM tiers t LEFT JOIN en
+               ON regexp_extract(t.url, $hostRe, 1) = en.host"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

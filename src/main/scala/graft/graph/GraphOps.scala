@@ -206,4 +206,89 @@ object GraphOps {
         (lit(base) + coalesce(col("in_mass"), lit(0L)) +
           expr(s"ds div ${n}L")).as("mass"))
   }
+
+  /** Host-level link-quality features — the curation feature table a
+    * web-text pipeline joins into tier assignment (domain-level signals,
+    * the granularity real curation stacks filter at: individual corpus
+    * pages are rarely link TARGETS, their hosts are): one row per host
+    * appearing anywhere in the link graph, with
+    * `(out_links, in_links, in_hosts, pr_mass)` where `pr_mass` is the
+    * sum of [[pagerank]] node mass over the host's nodes — integer-exact,
+    * so the whole frame is bit-stable under any partitioning.
+    *
+    * Plan/scale shape: the narrow `(src, target)` edge list is persisted
+    * ONCE and feeds all three consumers (the PageRank iterations, the
+    * out-link and in-link rollups) — the html payload is parsed exactly
+    * once and never shuffles; every rollup is a two-phase partial
+    * aggregate on the host key (hot hosts combine map-side); the final
+    * assembly left-joins the per-host frames, each at most one row per
+    * host (the host set comes from the PageRank node table, which covers
+    * every edge endpoint by construction). The edge cache self-releases
+    * via [[graft.util.CacheOnce.release]] on the first consuming action.
+    */
+  def hostLinkFeatures(spark: SparkSession, edges0: DataFrame,
+                       iterations: Int = 3,
+                       initMass: Long = DefaultInitMass): DataFrame = {
+    val e = edges0.select(col("src"), col("target"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // one materialized parse pass shared by all three consumers
+    // pagerank's internal actions read the cached blocks; release must be
+    // registered AFTER them so the one-shot listener fires on the
+    // caller's consuming action (which runs the out/in rollup legs)
+    val pr = pagerank(spark, e, iterations, initMass)
+    graft.util.CacheOnce.release(e)
+    val out = e.select(hostOf(col("src")).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("out_links"))
+    val in = e.select(hostOf(col("src")).as("src_host"),
+        hostOf(col("target")).as("host"))
+      .groupBy("host").agg(count(lit(1)).as("in_links"),
+        countDistinct(col("src_host")).as("in_hosts"))
+    val mass = pr.select(hostOf(col("node")).as("host"), col("mass"))
+      .groupBy("host").agg(sum(col("mass")).as("pr_mass"))
+    mass.join(out, Seq("host"), "left")
+      .join(in, Seq("host"), "left")
+      .select(col("host"),
+        coalesce(col("out_links"), lit(0L)).as("out_links"),
+        coalesce(col("in_links"), lit(0L)).as("in_links"),
+        coalesce(col("in_hosts"), lit(0L)).as("in_hosts"),
+        col("pr_mass"))
+  }
+
+  /** Link-aware tier assignment — the capstone joining the web-graph
+    * family into the curation head: a text-derived tier table
+    * (`(url, tier, …)` from [[graft.text.TextOps.tierAssign]]) is bumped
+    * one level (mid→high, tier 2→3) for pages on link-ENDORSED hosts.
+    * "Endorsed" is scale-free and integer-exact: the host's PageRank
+    * mass is at least 2× the mean host mass, tested as
+    * `pr_mass >= 2 * (total_mass div n_hosts)` — Long floor-division,
+    * no floats, so the DuckDB oracle replays it bit-for-bit (the floor
+    * shifts the threshold by at most 2 units in 10^12). Rejects
+    * (tier 0/1) are never promoted: link popularity does not
+    * rehabilitate duplicate or garbage TEXT, it only breaks ties among
+    * acceptable documents — the same stance as production url-level
+    * quality buckets.
+    *
+    * Scale shape: the host-feature frame is one row per host — tiny next
+    * to the tier table — so the global (n_hosts, total_mass) aggregate is
+    * a 1-row broadcast and the endorsement join BROADCASTS the host side;
+    * the 10^12-row tier table never shuffles here. Long bound: the
+    * largest product is `2 × total_mass ≈ 2 × n_nodes × initMass` —
+    * the same regime as [[pagerank]]'s own mass sums; past ~4×10^6
+    * nodes callers pass the re-scaled `initMass` exactly as there.
+    */
+  def linkTiers(tiers: DataFrame, hostFeatures: DataFrame): DataFrame = {
+    val stats = hostFeatures.agg(count(lit(1)).as("n_hosts"),
+      sum(col("pr_mass")).as("total_mass"))
+    val endorsed = hostFeatures.select(col("host"), col("pr_mass"))
+      .crossJoin(broadcast(stats))
+      .select(col("host"),
+        (col("pr_mass") >= lit(2L) * expr("total_mass div n_hosts"))
+          .as("endorsed"))
+    tiers.withColumn("host", hostOf(col("url")))
+      .join(broadcast(endorsed), Seq("host"), "left")
+      .select(col("url"), col("tier").as("text_tier"),
+        coalesce(col("endorsed"), lit(false)).as("endorsed"),
+        when(col("tier") === 2 && coalesce(col("endorsed"), lit(false)),
+          lit(3)).otherwise(col("tier")).as("tier"))
+  }
 }

@@ -296,4 +296,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastNestedLoopJoin"),
       s"the dangling sum is a 1-row aggregate and must return by broadcast:\n$p")
   }
+
+  test("g6 link tiers: the 10^12-row tier side joins endorsement by BROADCAST") {
+    // audit linkTiers in isolation (the full g6 plan also carries the
+    // extraction + pagerank subtrees): a big tier frame, a per-host
+    // feature frame — the bump must broadcast the host side, never
+    // exchange the tier table
+    val s = spark
+    import s.implicits._
+    val tiers = s.range(0, 1000)
+      .selectExpr("concat('https://h', id % 7, '.org/p', id) AS url",
+        "CAST(id % 4 AS INT) AS tier")
+    val feats = (0 until 7)
+      .map(i => (s"h$i.org", 1L, 1L, 1L, (i + 1) * 1000L))
+      .toDF("host", "out_links", "in_links", "in_hosts", "pr_mass")
+    val p = graft.graph.GraphOps.linkTiers(tiers, feats)
+      .queryExecution.explainString(FormattedMode)
+    assertNoCartesian(p, "g6 linkTiers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the endorsement join must broadcast the per-host side:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"the tier table must NOT shuffle for the bump:\n$p")
+  }
 }

@@ -143,4 +143,67 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "h3.org" -> (("h1.org", false)),
       "h9.org" -> (("h9.org", true))))
   }
+
+  // two hosts; h1's two pages both link to h2, h2's page links back once
+  // and also carries a dangling external target — exercises out/in/hosts
+  // rollups and the per-host mass sum on a hand-checkable graph
+  private val hostG = Seq(
+    ("https://h1.org/a", "https://h2.org/x"),
+    ("https://h1.org/b", "https://h2.org/x"),
+    ("https://h2.org/x", "https://h1.org/a"),
+    ("https://h2.org/x", "https://ext.org/z"))
+
+  test("hostLinkFeatures: rollups match hand counts, mass matches the reference sum") {
+    val got = GraphOps.hostLinkFeatures(spark, edgeDf(hostG), iterations = 2)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val mass = refPagerank(hostG, iters = 2)
+    def hostMass(h: String) =
+      mass.collect { case (n, m) if n.contains(s"//$h/") => m }.sum
+    assert(got.keySet == Set("h1.org", "h2.org", "ext.org"))
+    // h1.org: 2 out-links, 1 in-link from 1 host
+    assert(got("h1.org") == ((2L, 1L, 1L, hostMass("h1.org"))))
+    // h2.org: 2 out-links (x links twice), 2 in-links from 1 host
+    assert(got("h2.org") == ((2L, 2L, 1L, hostMass("h2.org"))))
+    // ext.org: pure target — no out-links, 1 in-link
+    assert(got("ext.org") == ((0L, 1L, 1L, hostMass("ext.org"))))
+  }
+
+  test("hostLinkFeatures releases its persisted edge cache after the consuming action") {
+    spark.catalog.clearCache()
+    def drained(): Boolean =
+      spark.sparkContext.getPersistentRDDs.isEmpty &&
+        spark.sharedState.cacheManager.isEmpty
+    assert(GraphOps.hostLinkFeatures(spark, edgeDf(hostG)).count() == 3)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!drained() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(drained(), "hostLinkFeatures must self-release the edge cache")
+  }
+
+  test("linkTiers bumps ONLY tier 2 on endorsed hosts, never rejects") {
+    val s = spark
+    import s.implicits._
+    // big.org holds 8x the mass of each small host -> >= 2x mean
+    val feats = Seq(
+      ("big.org", 1L, 1L, 1L, 8000L),
+      ("s1.org", 1L, 1L, 1L, 1000L),
+      ("s2.org", 1L, 1L, 1L, 1000L))
+      .toDF("host", "out_links", "in_links", "in_hosts", "pr_mass")
+    val tiers = Seq(
+      ("https://big.org/mid", 2), ("https://big.org/rej", 0),
+      ("https://big.org/low", 1), ("https://big.org/high", 3),
+      ("https://s1.org/mid", 2), ("https://nohost.org/mid", 2))
+      .toDF("url", "tier")
+    val got = GraphOps.linkTiers(tiers, feats).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getBoolean(2), r.getInt(3))))
+      .toMap
+    assert(got == Map(
+      "https://big.org/mid" -> ((2, true, 3)),   // the one bump
+      "https://big.org/rej" -> ((0, true, 0)),   // endorsed, never promoted
+      "https://big.org/low" -> ((1, true, 1)),
+      "https://big.org/high" -> ((3, true, 3)),
+      "https://s1.org/mid" -> ((2, false, 2)),   // unendorsed host
+      "https://nohost.org/mid" -> ((2, false, 2)))) // host absent from graph
+  }
 }
