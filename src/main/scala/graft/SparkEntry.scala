@@ -1102,7 +1102,7 @@ object SparkEntry {
                pr_mass
              FROM mass LEFT JOIN o USING (host) LEFT JOIN i USING (host)"""),
       // text tiers bumped by link endorsement: host PageRank mass >= 2x
-      // the mean host mass, tested multiplication-only (bit-exact)
+      // the mean host mass, tested via Long floor-division (bit-exact)
       "g6_link_tiers" ->
         (s"""WITH tiers AS (
                ${tierSql(s"(SELECT url AS doc_id, text FROM $pages)", "url")}),
@@ -1114,7 +1114,7 @@ object SparkEntry {
                       (pr_mass >= 2 * ((SELECT total_mass FROM st)
                          // (SELECT n_hosts FROM st))) AS endorsed
                     FROM mass)
-             SELECT t.url, t.tier AS text_tier,
+             SELECT t.url, t.reasons, t.tier AS text_tier,
                coalesce(en.endorsed, false) AS endorsed,
                CASE WHEN t.tier = 2 AND coalesce(en.endorsed, false)
                     THEN 3 ELSE t.tier END AS tier

@@ -284,11 +284,16 @@ object GraphOps {
       .select(col("host"),
         (col("pr_mass") >= lit(2L) * expr("total_mass div n_hosts"))
           .as("endorsed"))
+    // non-(url,tier) input columns pass through untouched, so callers
+    // like TierJob keep their provenance columns (`reasons`)
+    val passthrough = tiers.columns
+      .filterNot(c => c == "url" || c == "tier").toSeq.map(col)
     tiers.withColumn("host", hostOf(col("url")))
       .join(broadcast(endorsed), Seq("host"), "left")
-      .select(col("url"), col("tier").as("text_tier"),
-        coalesce(col("endorsed"), lit(false)).as("endorsed"),
+      .select(col("url") +: passthrough :+
+        col("tier").as("text_tier") :+
+        coalesce(col("endorsed"), lit(false)).as("endorsed") :+
         when(col("tier") === 2 && coalesce(col("endorsed"), lit(false)),
-          lit(3)).otherwise(col("tier")).as("tier"))
+          lit(3)).otherwise(col("tier")).as("tier"): _*)
   }
 }

@@ -30,13 +30,32 @@ object TierJob {
   /** Tier the extracted table at `extractedRoot` (success partition only;
     * failed rows carry no text) into `outPath`'s `tiered` table,
     * partitioned by tier. Returns the per-tier document counts
-    * (tier, docs). */
+    * (tier, docs).
+    *
+    * `edgesTable` (optional) makes the pass LINK-AWARE: the outlink edge
+    * table [[GraphMain]] materialized from the same crawl feeds
+    * [[graft.graph.GraphOps.hostLinkFeatures]] (per-host PageRank mass),
+    * and [[graft.graph.GraphOps.linkTiers]] bumps mid-tier documents on
+    * link-endorsed hosts BEFORE the tier-partitioned rewrite — the
+    * physical layout then prunes on the final, link-informed tier. Cost
+    * at scale: the edge list is narrow rows (never the html payload),
+    * the per-host frame broadcasts, and the tier table itself takes no
+    * extra shuffle — the payload join below is unchanged. */
   def run(spark: SparkSession, extractedRoot: String, outPath: String,
-          io: TableIO = ParquetTableIO): DataFrame = {
+          io: TableIO = ParquetTableIO,
+          edgesTable: Option[String] = None,
+          pagerankIterations: Int = 3): DataFrame = {
     val ex = ExtractionJob.readExtracted(spark, extractedRoot, io)
-    val tiers = TextOps.tierAssign(
+    val textTiers = TextOps.tierAssign(
       ex.select(col("url").as("doc_id"), col("text")))
       .withColumnRenamed("doc_id", "url")
+    val tiers = edgesTable match {
+      case None => textTiers
+      case Some(et) =>
+        val feats = graft.graph.GraphOps.hostLinkFeatures(
+          spark, io.read(spark, et), pagerankIterations)
+        graft.graph.GraphOps.linkTiers(textTiers, feats)
+    }
     // shuffle-hash-join hint on the NARROW side: the default sort-merge
     // join would sort the wide text-payload rows after shuffling them —
     // pure extra bandwidth on the one unavoidable payload move. SHJ

@@ -61,4 +61,44 @@ class TierJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("PartitionFilters") && plan.contains("tier"),
       s"tier filter must prune partitions:\n$plan")
   }
+
+  test("link-aware tier job: edge table bumps endorsed mid-tier docs before the rewrite") {
+    val pagesPath = s"$tmp/pages2"
+    val outPath = s"$tmp/out2"
+    PagesTable.generate(spark, seed = 11L, n = 200, partitions = 4)
+      .write.parquet(pagesPath)
+    assert(ExtractionJob.run(spark,
+      JobConfig(pagesPath, outPath, runId = "t2")) == 200)
+    // the edge table a GraphMain run would have materialized
+    val edgesPath = s"$outPath/edges"
+    graft.graph.GraphOps.edges(spark.read.parquet(pagesPath))
+      .write.parquet(edgesPath)
+
+    val counts = TierJob.run(spark, s"$outPath/extracted", outPath,
+      edgesTable = Some(edgesPath)).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 200)
+
+    // the written final tiers equal applying the batch operators directly
+    val textTiers = TextOps.tierAssign(
+        spark.read.parquet(s"$outPath/extracted")
+          .select(col("url").as("doc_id"), col("text")))
+      .withColumnRenamed("doc_id", "url")
+    val feats = graft.graph.GraphOps.hostLinkFeatures(
+      spark, spark.read.parquet(edgesPath))
+    val want = graft.graph.GraphOps.linkTiers(textTiers, feats)
+      .select(col("url"), col("tier").as("want"),
+        col("text_tier").as("want_text_tier"))
+    val tiered = spark.read.parquet(s"$outPath/tiered")
+    assert(tiered.join(want, "url")
+      .filter(col("tier") =!= col("want") ||
+        col("text_tier") =!= col("want_text_tier")).count() == 0)
+    // provenance columns survive the rewrite
+    assert(Set("text_tier", "endorsed", "reasons")
+      .subsetOf(tiered.columns.toSet), tiered.columns.mkString(","))
+    // partition dirs reflect the FINAL (link-informed) tier
+    val dirs = new java.io.File(s"$outPath/tiered").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs == counts.keySet.map(t => s"tier=$t"), s"partition dirs: $dirs")
+  }
 }
