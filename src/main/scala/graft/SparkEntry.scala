@@ -432,6 +432,12 @@ object SparkEntry {
       GraphOps.linkTiers(tiers, feats)
     }),
 
+    // crawl frontier: per-edge rows aggregate FIRST (partial agg on the
+    // skewed target key), THEN the anti-join against the crawled set —
+    // one narrow row per distinct target crosses the second exchange
+    "g7_frontier" -> ((s, d) =>
+      GraphOps.frontier(GraphOps.edges(pagesDf(s, d)), pagesDf(s, d))),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -1120,6 +1126,16 @@ object SparkEntry {
                     THEN 3 ELSE t.tier END AS tier
              FROM tiers t LEFT JOIN en
                ON regexp_extract(t.url, $hostRe, 1) = en.host"""),
+      // crawl frontier: aggregate per target, then exclude crawled urls
+      "g7_frontier" ->
+        (s"""WITH ed AS ($edgeSql),
+             agg AS (SELECT target,
+                       CAST(count(*) AS BIGINT) AS in_links,
+                       CAST(count(DISTINCT regexp_extract(src, $hostRe, 1))
+                         AS BIGINT) AS in_hosts
+                     FROM ed GROUP BY 1)
+             SELECT target, in_links, in_hosts FROM agg
+             WHERE target NOT IN (SELECT url FROM $pages)"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
       "t9_langid" -> {

@@ -296,4 +296,37 @@ object GraphOps {
         when(col("tier") === 2 && coalesce(col("endorsed"), lit(false)),
           lit(3)).otherwise(col("tier")).as("tier"): _*)
   }
+
+  /** Crawl frontier — the discovered-but-uncrawled url set with its
+    * link-demand signal, the table a crawl scheduler ranks the next
+    * fetch batch from: one row per link target ABSENT from the crawled
+    * page set, with total in-link count and distinct linking hosts
+    * (`(target, in_links, in_hosts)`). Distinct-host demand is the
+    * scheduler-grade signal: one host linking a url 10⁴ times is nav
+    * boilerplate, 10⁴ hosts linking it once is a page worth crawling.
+    *
+    * Plan/scale shape — the operand order is the point: the per-edge
+    * rows AGGREGATE FIRST (two-phase partial aggregation on the
+    * Zipf-skewed target key, hot targets combine map-side), so the
+    * anti-join against the crawled set moves one narrow row per
+    * DISTINCT target instead of one per edge. Catalyst's
+    * PushDownLeftSemiAntiJoin rule would undo that order (it pushes an
+    * anti-join whose condition touches only grouping columns below the
+    * aggregate, costlessly — at 10^12 edges the per-edge rows would
+    * then hit the join exchange UNREDUCED, and a hot target's whole
+    * in-link list would funnel to one reducer); the trivially-true
+    * `in_links >= 1` conjunct references an aggregate OUTPUT, which
+    * makes that pushdown illegal and pins the aggregate below the
+    * join. The anti-join itself then exchanges only url strings (the
+    * pages side prunes to its url column). Production callers
+    * canonicalize both sides first ([[graft.web.UrlNorm.canonical]],
+    * exercised as x16) — this corpus's urls are already canonical. */
+  def frontier(edges: DataFrame, pages: DataFrame): DataFrame = {
+    val agg = edges.select(col("target"), hostOf(col("src")).as("src_host"))
+      .groupBy("target")
+      .agg(count(lit(1)).as("in_links"),
+        countDistinct(col("src_host")).as("in_hosts"))
+    agg.join(pages.select(col("url")),
+      agg("target") === col("url") && col("in_links") >= 1L, "left_anti")
+  }
 }

@@ -28,19 +28,41 @@ import graft.text.TextOps
   */
 object CorpusBuildJob {
 
-  /** Returns per-(split, tier) doc counts of the written corpus. */
+  /** Returns per-(split, tier) doc counts of the written corpus.
+    *
+    * `edgesTable` (optional) makes the build LINK-AWARE, exactly as in
+    * [[TierJob.run]]: the outlink edge table a [[GraphMain]] run
+    * materialized from the same crawl feeds
+    * [[graft.graph.GraphOps.hostLinkFeatures]], and
+    * [[graft.graph.GraphOps.linkTiers]] promotes mid-tier documents on
+    * link-endorsed hosts BEFORE the mix — endorsed pages then draw the
+    * higher tier's sampling rate and land in the higher tier's
+    * partition directories. Cost shape is the same as there: narrow
+    * edge rows only, the per-host frame broadcasts, the payload join
+    * below is unchanged. */
   def run(spark: SparkSession, pagesPath: String, outPath: String,
           ratesBp: Map[Int, Int] = Map(0 -> 0, 1 -> 1000, 2 -> 5000, 3 -> 10000),
           seed: String = "mix", runId: String = "corpus",
-          io: TableIO = ParquetTableIO): DataFrame = {
+          io: TableIO = ParquetTableIO,
+          edgesTable: Option[String] = None,
+          pagerankIterations: Int = 3): DataFrame = {
     val cfg = JobConfig(pagesPath, outPath, runId = runId, io = io)
     ExtractionJob.run(spark, cfg)
 
     val ex = ExtractionJob.readExtracted(spark, cfg)
 
-    val tiers = TextOps.tierAssign(
+    val textTiers = TextOps.tierAssign(
         ex.select(col("url").as("doc_id"), col("text")))
       .select(col("doc_id"), col("tier"))
+    val tiers = edgesTable match {
+      case None => textTiers
+      case Some(et) =>
+        val feats = graft.graph.GraphOps.hostLinkFeatures(
+          spark, io.read(spark, et), pagerankIterations)
+        graft.graph.GraphOps.linkTiers(
+            textTiers.withColumnRenamed("doc_id", "url"), feats)
+          .select(col("url").as("doc_id"), col("tier"))
+    }
     val kept = TextOps.tierMix(tiers, ratesBp, seed)
     val membership = TextOps.hashSplit(kept)
       .join(kept, "doc_id")

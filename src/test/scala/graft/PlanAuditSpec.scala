@@ -318,4 +318,25 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
       s"the tier table must NOT shuffle for the bump:\n$p")
   }
+
+  test("g7 frontier: targets aggregate BELOW the anti-join, pruned crawled-side scan") {
+    val qe = SparkEntry.queries("g7_frontier")(spark, sf).queryExecution
+    // logical shape: Catalyst's PushDownLeftSemiAntiJoin must NOT have
+    // pushed the anti-join under the aggregate (per-edge rows would hit
+    // the join exchange unreduced on the Zipf-skewed target key) — the
+    // aggregate lives in the anti-join's LEFT subtree
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    val anti = qe.optimizedPlan.collect {
+      case j: Join if j.joinType.toString == "LeftAnti" => j }
+    assert(anti.nonEmpty, s"frontier must plan a left-anti join:\n${qe.optimizedPlan}")
+    assert(anti.exists(_.left.collect { case a: Aggregate => a }.nonEmpty),
+      s"targets must aggregate below the anti-join (one narrow row per " +
+        s"distinct target crosses, not one per edge):\n${qe.optimizedPlan}")
+    val p = qe.explainString(FormattedMode)
+    assertNoCartesian(p, "g7")
+    assert(p.contains("ReadSchema: struct<url:string>"),
+      s"the crawled side must prune to the url column:\n$p")
+    assert(p.contains("partial_count"),
+      s"in-link counts must partial-aggregate (hot targets combine map-side):\n$p")
+  }
 }

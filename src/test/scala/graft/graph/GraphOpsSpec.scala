@@ -206,4 +206,23 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://s1.org/mid" -> ((2, false, 2)),   // unendorsed host
       "https://nohost.org/mid" -> ((2, false, 2)))) // host absent from graph
   }
+
+  test("frontier excludes crawled targets, counts in-links and distinct hosts") {
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      ("https://a.org/p1", "https://b.org/x"),   // b.org/x: 3 links,
+      ("https://a.org/p2", "https://b.org/x"),   //   2 distinct hosts
+      ("https://c.org/p1", "https://b.org/x"),
+      ("https://a.org/p1", "https://a.org/p2"),  // crawled -> excluded
+      ("https://c.org/p1", "https://d.org/y"))
+      .toDF("src", "target")
+    val pages = Seq("https://a.org/p1", "https://a.org/p2",
+      "https://c.org/p1").toDF("url")
+    val got = GraphOps.frontier(edges, pages).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == Map(
+      "https://b.org/x" -> ((3L, 2L)),
+      "https://d.org/y" -> ((1L, 1L))))
+  }
 }

@@ -67,4 +67,46 @@ class CorpusBuildJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters"), s"must partition-prune:\n$plan")
   }
+
+  test("link-aware corpus build: edge table promotes endorsed docs before the mix") {
+    val pagesPath = s"$tmp/pages_la"
+    PagesTable.generate(spark, seed = 13L, n = 200, partitions = 4)
+      .write.parquet(pagesPath)
+    val edgesPath = s"$tmp/edges_la"
+    graft.graph.GraphOps.edges(spark.read.parquet(pagesPath))
+      .write.parquet(edgesPath)
+
+    val out = s"$tmp/out_la"
+    CorpusBuildJob.run(spark, pagesPath, out,
+      edgesTable = Some(edgesPath)).collect()
+
+    // membership replays from the batch operators composed directly:
+    // text tiers -> link bump -> mix -> split
+    val ex = spark.read.parquet(s"$out/extracted")
+      .filter(!coalesce(col("failed").cast("boolean"), lit(false)))
+    val textTiers = TextOps.tierAssign(
+        ex.select(col("url").as("doc_id"), col("text")))
+      .select(col("doc_id"), col("tier"))
+    val feats = graft.graph.GraphOps.hostLinkFeatures(
+      spark, spark.read.parquet(edgesPath))
+    val bumped = graft.graph.GraphOps.linkTiers(
+        textTiers.withColumnRenamed("doc_id", "url"), feats)
+      .select(col("url").as("doc_id"), col("tier"))
+    val want = TextOps.hashSplit(TextOps.tierMix(bumped,
+        Map(0 -> 0, 1 -> 1000, 2 -> 5000, 3 -> 10000)))
+      .join(bumped, "doc_id")
+      .select(col("doc_id").as("url"), col("split").as("want_split"),
+        col("tier").as("want_tier"))
+    val got = spark.read.parquet(s"$out/corpus").select("url", "split", "tier")
+    assert(got.count() == want.count(), "corpus membership = link-bumped mixed set")
+    assert(got.join(want, "url").filter(col("split") =!= col("want_split") ||
+      col("tier") =!= col("want_tier")).count() == 0)
+
+    // the bump is live on this corpus: at least one endorsed tier-2 doc
+    // landed in a tier-3 directory (seed chosen so the property holds)
+    val promoted = textTiers.filter(col("tier") === 2)
+      .join(bumped.filter(col("tier") === 3), "doc_id")
+    assert(promoted.count() > 0,
+      "fixture must exercise the promotion path (pick another seed if not)")
+  }
 }
