@@ -438,6 +438,14 @@ object SparkEntry {
     "g7_frontier" -> ((s, d) =>
       GraphOps.frontier(GraphOps.edges(pagesDf(s, d)), pagesDf(s, d))),
 
+    // host quality prior: per-host tier composition + integer basis-point
+    // mid+high share — the crawl-time deprioritization signal
+    "g8_host_quality" -> ((s, d) =>
+      GraphOps.hostQuality(TextOps.tierAssign(
+          graft.util.CacheOnce(extractedDf(s, d)
+            .select(col("url").as("doc_id"), col("text"))))
+        .withColumnRenamed("doc_id", "url"))),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -1126,6 +1134,24 @@ object SparkEntry {
                     THEN 3 ELSE t.tier END AS tier
              FROM tiers t LEFT JOIN en
                ON regexp_extract(t.url, $hostRe, 1) = en.host"""),
+      // host quality prior: tier chain replay, then one host rollup with
+      // an integer basis-point share (// = the Spark plan's div)
+      "g8_host_quality" ->
+        (s"""WITH tiers AS (
+               ${tierSql(s"(SELECT url AS doc_id, text FROM $pages)", "url")})
+             SELECT regexp_extract(url, $hostRe, 1) AS host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN tier = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_reject,
+               CAST(sum(CASE WHEN tier = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_low,
+               CAST(sum(CASE WHEN tier = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_mid,
+               CAST(sum(CASE WHEN tier = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_high,
+               CAST(10000 * sum(CASE WHEN tier >= 2 THEN 1 ELSE 0 END)
+                 // count(*) AS BIGINT) AS quality_bp
+             FROM tiers GROUP BY 1"""),
       // crawl frontier: aggregate per target, then exclude crawled urls
       "g7_frontier" ->
         (s"""WITH ed AS ($edgeSql),

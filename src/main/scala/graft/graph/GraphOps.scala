@@ -329,4 +329,30 @@ object GraphOps {
     agg.join(pages.select(col("url")),
       agg("target") === col("url") && col("in_links") >= 1L, "left_anti")
   }
+
+  /** Host-level quality prior from the text-tier table — the other half
+    * of the host curation board next to [[hostLinkFeatures]]: real
+    * curation stacks keep a per-domain quality history (a host whose
+    * pages keep landing in the reject tier gets deprioritized at CRAWL
+    * time, before its bytes are ever fetched again). One row per host:
+    * doc count, per-tier counts, and `quality_bp` — the basis-point
+    * share of mid+high documents, as integer floor-division
+    * (`10000·(n_mid+n_high) div n_docs`) so the score is bit-stable
+    * under any partitioning and the oracle replays it exactly.
+    *
+    * Scale shape: input is the narrow `(url, tier)` frame (the html
+    * payload stayed in the extraction job); one two-phase partial
+    * aggregation on the host key — the per-tier counts are conditional
+    * sums inside the same aggregate, not four self-joins. */
+  def hostQuality(tiers: DataFrame): DataFrame = {
+    def tierCount(t: Int, as: String) =
+      sum(when(col("tier") === t, lit(1L)).otherwise(lit(0L))).as(as)
+    tiers.select(hostOf(col("url")).as("host"), col("tier"))
+      .groupBy("host")
+      .agg(count(lit(1)).as("n_docs"),
+        tierCount(0, "n_reject"), tierCount(1, "n_low"),
+        tierCount(2, "n_mid"), tierCount(3, "n_high"))
+      .withColumn("quality_bp",
+        expr("10000 * (n_mid + n_high) div n_docs"))
+  }
 }

@@ -11,7 +11,7 @@ import graft.graph.GraphOps
   *     layoutparserspark.jar \
   *     --pages <path or catalog table of (url, warc_ts, html, ...)> \
   *     --out   <output root: writes <out>/edges, <out>/indegree,
-  *              <out>/hostgraph, <out>/pagerank> \
+  *              <out>/hostgraph, <out>/pagerank, <out>/frontier> \
   *     --iterations 3     # PageRank steps (integer-exact) \
   *     --io iceberg       # storage seam: parquet (default) | iceberg
   *
@@ -63,5 +63,10 @@ object GraphMain {
     io.overwrite(GraphOps.hostGraph(edges), io.resolve(out, "hostgraph"))
     io.overwrite(GraphOps.pagerank(spark, edges, iterations),
       io.resolve(out, "pagerank"))
+    // crawl-scheduler feed: uncrawled targets ranked by link demand;
+    // reads the WRITTEN edges (no re-parse) + the pruned url column of
+    // the pages table
+    io.overwrite(GraphOps.frontier(edges, io.read(spark, pages)),
+      io.resolve(out, "frontier"))
   }
 }

@@ -225,4 +225,22 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "https://b.org/x" -> ((3L, 2L)),
       "https://d.org/y" -> ((1L, 1L))))
   }
+
+  test("hostQuality: per-host tier histogram and floor-division basis points") {
+    val s = spark
+    import s.implicits._
+    val tiers = Seq(
+      ("https://a.org/1", 0), ("https://a.org/2", 2), ("https://a.org/3", 3),
+      ("https://b.org/1", 1), ("https://b.org/2", 1), ("https://b.org/3", 2))
+      .toDF("url", "tier")
+    val got = GraphOps.hostQuality(tiers).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    assert(got == Map(
+      // a.org: 3 docs, mid+high = 2 -> 10000*2/3 = 6666 (floor)
+      "a.org" -> ((3L, 1L, 0L, 1L, 1L, 6666L)),
+      // b.org: 3 docs, mid+high = 1 -> 3333
+      "b.org" -> ((3L, 0L, 2L, 1L, 0L, 3333L))))
+  }
 }

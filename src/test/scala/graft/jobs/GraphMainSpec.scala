@@ -53,6 +53,15 @@ class GraphMainSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val written = pr.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(written == recomputed, "pagerank must replay bit-identically from the written edges")
+    // frontier: every row is an uncrawled target; in_links reconcile
+    // against the in-degree table for the frontier subset
+    val frontier = spark.read.parquet(s"$out/frontier")
+    assert(frontier.join(spark.read.parquet(pagesPath).select("url"),
+      frontier("target") === org.apache.spark.sql.functions.col("url"))
+      .count() == 0, "frontier must contain no crawled url")
+    assert(frontier.join(indeg, "target")
+      .filter(frontier("in_links") =!= indeg("in_deg")).count() == 0,
+      "frontier in_links must equal the in-degree table's count")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 }
