@@ -276,6 +276,10 @@ object SparkEntry {
     // sequence-packing assignment: (pack_group, bin, token offset) per
     // doc for fixed-capacity training sequences
     "t25_pack" -> ((s, d) => TextOps.packAssign(docs(s, d))),
+    // duplicated-span REMOVAL: the corpus rewrite t17 only measures —
+    // non-keeper copies of cross-document 8-gram spans are cut from the
+    // text (keeper = min doc_id keeps its copy)
+    "t26_span_removal" -> ((s, d) => TextOps.dupSpanRemoval(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -1264,6 +1268,41 @@ object SparkEntry {
               CAST(end_offset - n_tokens AS BIGINT) AS tok_offset,
               CAST((end_offset - n_tokens) // 2048 AS BIGINT) AS bin
             FROM s"""),
+      // duplicated-span removal replay: grams WITH positions (the struct
+      // comprehension mirrors gramsSql + a start index), df/keeper over
+      // the distinct (doc, gram) set, covered = union of [i, i+7] windows
+      // in non-keeper docs, rebuild = kept tokens re-joined by ' '
+      // (string_agg skips the NULLs the cov anti-join leaves; coalesce
+      // matches Spark's '' for a fully-removed document)
+      "t26_span_removal" ->
+        (s"""WITH toks AS (SELECT doc_id, $tok AS w FROM documents),
+            pos AS (
+              SELECT doc_id, u.i AS i, u.g AS g FROM (
+                SELECT doc_id,
+                  unnest([{'i': i, 'g': array_to_string(w[i:i+7], ' ')}
+                          for i in generate_series(1, greatest(length(w)-7, 1))]) AS u
+                FROM toks) q),
+            stats AS (SELECT g, count(*) AS df, min(doc_id) AS keeper
+                      FROM (SELECT DISTINCT doc_id, g FROM pos) dg GROUP BY g),
+            cov AS (SELECT DISTINCT doc_id, j FROM (
+                      SELECT p.doc_id, unnest(generate_series(p.i, p.i + 7)) AS j
+                      FROM pos p JOIN stats s USING (g)
+                      WHERE s.df >= 2 AND p.doc_id <> s.keeper) c2),
+            words AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+                        SELECT doc_id,
+                          unnest([{'p': i, 'tok': w[i]}
+                                  for i in generate_series(1, length(w))]) AS u
+                        FROM toks) q2),
+            kept AS (SELECT wd.doc_id, wd.p, wd.tok
+                     FROM words wd LEFT JOIN cov c
+                       ON c.doc_id = wd.doc_id AND c.j = wd.p
+                     WHERE c.j IS NULL),
+            nt AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_tokens FROM toks)
+            SELECT nt.doc_id AS doc_id, nt.n_tokens AS n_tokens,
+              CAST(nt.n_tokens - count(k.p) AS BIGINT) AS n_removed,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+            FROM nt LEFT JOIN kept k ON k.doc_id = nt.doc_id
+            GROUP BY nt.doc_id, nt.n_tokens"""),
       "s1_script" -> {
         val re2 = Map(
           "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",

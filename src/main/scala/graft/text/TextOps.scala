@@ -724,4 +724,90 @@ object TextOps {
         col("tok_offset"),
         floor(col("tok_offset") / capacity).as("bin"))
   }
+
+  /** Cross-document duplicated-SPAN removal — the corpus REWRITE that
+    * `crossDupCoverage` only measures (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better": cut the repeated
+    * substring, keep one copy). Token-level semantics, fully
+    * deterministic so a SQL oracle replays it:
+    *
+    *   - a token position is duplicated when some word `n`-gram covering
+    *     it occurs in ≥2 distinct documents AND this document is not the
+    *     gram's keeper (keeper = min doc_id among documents containing
+    *     the gram — "the first occurrence survives");
+    *   - the rewritten document is its tokens with duplicated positions
+    *     removed, re-joined by single spaces (token-level, not
+    *     char-level: the whitespace run is not preserved — the
+    *     downstream consumer is a tokenizer, not a renderer).
+    *
+    * A document that is an exact duplicate of an earlier one therefore
+    * rewrites to the empty string (every position covered), and partial
+    * template overlap (shared boilerplate sentence) is cut from every
+    * copy but the first — the two failure modes exact-dedup (t3) and
+    * near-dedup (t21) leave behind.
+    *
+    * Plan shape (sized for the corpus-scale shuffle this is at 100 TB):
+    * grams hash to 8-byte xxhash64 keys map-side (the oracle groups by
+    * the gram STRING and gets identical sets — the hash is internal,
+    * exactly t17's convention); start positions pre-combine into one
+    * array per (doc, gram) before the exchange; df/keeper is a partial
+    * aggregation over those already-distinct rows; the join back is the
+    * same bounded-fanout gram-keyed equi-join as t17 (each (doc, gram)
+    * row meets exactly one stats row); losers' start arrays combine per
+    * doc in one more narrow exchange, and the rewrite itself is a
+    * per-row projection: sorted starts → merged [lo,hi] intervals (the
+    * aggregate is linear in interval count, NOT tokens × starts — a
+    * fully-duplicated 10^4-token page merges to ONE interval before any
+    * per-token work) → filter the position sequence → re-join kept
+    * tokens. Documents with no duplicated grams take the left-join null
+    * path and rewrite to themselves. */
+  def dupSpanRemoval(docs: DataFrame, n: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val pos = toks
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))),
+        i => struct(i.as("i"),
+          xxhash64(concat_ws(" ", slice(col("w"), i, lit(n)))).as("gh"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+    val perDocGram = pos.groupBy("gh", "doc_id")
+      .agg(collect_list("i").as("starts"))
+    // perDocGram rows are distinct per (gh, doc): df = plain count
+    val stats = perDocGram.groupBy("gh")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("keeper"))
+    val loserStarts = perDocGram.join(stats, "gh")
+      .where(col("df") >= 2 && col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id")
+      .agg(array_sort(flatten(collect_list(col("starts")))).as("starts"))
+
+    // typed empty values for the no-duplicates left-join path
+    val noStarts = slice(array(lit(0)), lit(1), lit(0))
+    val noIvs = slice(
+      array(struct(lit(0).as("lo"), lit(0).as("hi"))), lit(1), lit(0))
+    // sorted starts -> merged closed intervals [lo, hi]; each start s
+    // covers [s, s+n-1]; adjacency (hi+1) merges into one interval
+    def mergeIvs(ss: Column): Column = aggregate(ss, noIvs, (acc, s) => {
+      val last = element_at(acc, -1)
+      when(size(acc) > 0 && s <= last.getField("hi") + 1,
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last.getField("lo").as("lo"),
+            greatest(last.getField("hi"), s + (n - 1)).as("hi")))))
+        .otherwise(
+          concat(acc, array(struct(s.as("lo"), (s + (n - 1)).as("hi")))))
+    })
+
+    toks.join(loserStarts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"),
+        mergeIvs(coalesce(col("starts"), noStarts)).as("ivs"))
+      .select(col("doc_id"), col("w"),
+        filter(sequence(lit(1), size(col("w"))), j =>
+          !exists(col("ivs"), iv =>
+            j >= iv.getField("lo") && j <= iv.getField("hi"))).as("kept"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          transform(col("kept"), j => element_at(col("w"), j)))
+          .as("clean_text"))
+  }
 }

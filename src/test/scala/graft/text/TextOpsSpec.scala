@@ -504,4 +504,65 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://a.org/3", "a.org", 3L, 2L),
       ("https://b.org/1", "b.org", 1L, 1L)))
   }
+
+  private def spanRemoval(d: org.apache.spark.sql.DataFrame, n: Int = 8) =
+    TextOps.dupSpanRemoval(d, n).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("span removal: non-keeper loses the shared span, keeper is intact") {
+    // docs 1 and 2 share one 8-token sentence; everything else is unique
+    val shared = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val d = docs(
+      1L -> s"alpha beta $shared gamma delta",
+      2L -> s"uno dos tres $shared quatro",
+      3L -> "completely unrelated words only here never repeated at all")
+    val r = spanRemoval(d)
+    assert(r(1L) == ((12L, 0L, s"alpha beta $shared gamma delta")),
+      "keeper (min doc_id) keeps its copy untouched")
+    assert(r(2L) == ((12L, 8L, "uno dos tres quatro")),
+      "non-keeper loses exactly the 8 shared tokens")
+    assert(r(3L)._2 == 0L)
+  }
+
+  test("span removal: exact duplicate rewrites to the empty string") {
+    val t = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val r = spanRemoval(docs(5L -> t, 9L -> t))
+    assert(r(5L) == ((10L, 0L, t)))
+    assert(r(9L) == ((10L, 10L, "")))
+  }
+
+  test("span removal: overlapping gram hits merge, no double-counting") {
+    // a 10-token shared run = three overlapping 8-grams in the loser;
+    // covered positions must merge to ONE 10-token interval
+    val run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"
+    val d = docs(
+      1L -> s"$run tail-a only-a",
+      2L -> s"head-b $run tail-b")
+    val r = spanRemoval(d)
+    assert(r(1L)._2 == 0L)
+    assert(r(2L) == ((12L, 10L, "head-b tail-b")))
+  }
+
+  test("span removal: two disjoint shared spans cut separately") {
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    val d = docs(
+      1L -> s"$a mid-one $b",
+      2L -> s"x1 $a x2 x3 x4 $b x5",
+      3L -> "nothing shared in this document at all whatsoever today")
+    val r = spanRemoval(d)
+    assert(r(1L)._2 == 0L, "doc 1 is the keeper of both spans")
+    assert(r(2L) == ((21L, 16L, "x1 x2 x3 x4 x5")))
+  }
+
+  test("span removal: short docs (< n tokens) dedup via the truncated gram") {
+    // gramsOf degrades to ONE whole-doc gram when the doc is shorter than
+    // n, so short exact duplicates still collapse to the keeper copy
+    val r = spanRemoval(docs(2L -> "tiny doc", 7L -> "tiny doc",
+      8L -> "tiny other"))
+    assert(r(2L) == ((2L, 0L, "tiny doc")))
+    assert(r(7L) == ((2L, 2L, "")))
+    assert(r(8L)._2 == 0L)
+  }
 }
