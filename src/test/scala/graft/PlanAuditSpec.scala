@@ -120,6 +120,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"df table must attach via an equi-join on the gram key:\n$p")
   }
 
+  test("t26 span removal: hashed-gram equi-joins, no cartesian, no window") {
+    val p = plan("t26_span_removal")
+    assertNoCartesian(p, "t26")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"df/keeper stats and loser starts must attach via equi-joins:\n$p")
+    assert(p.contains("xxhash64"),
+      s"grams must shuffle as 8-byte hashes, not gram strings:\n$p")
+    assert(!p.contains("WindowExec"),
+      s"keeper selection is groupBy(min), never a window sort:\n$p")
+  }
+
   test("t18 tier: equi-joins only (md5 + gram keys), no window, no cartesian") {
     val p = plan("t18_tier")
     assertNoCartesian(p, "t18")
