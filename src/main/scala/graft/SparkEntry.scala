@@ -366,6 +366,14 @@ object SparkEntry {
           .select(col("url").as("doc_id"), col("text")))
         .withColumnRenamed("doc_id", "url")),
 
+    // ---- CORPUS-level repeated-line strip (RefinedWeb-style): lines in
+    // ≥3 distinct docs are template boilerplate, removed from all copies
+    // (the cross-page complement of x13's within-page dedup) -------------
+    "x17_boilerplate_lines" -> ((s, d) =>
+      TextOps.corpusLineDedup(extractedDf(s, d)
+          .select(col("url").as("doc_id"), col("text")))
+        .withColumnRenamed("doc_id", "url")),
+
     // ---- link-graph construction: per-page DOM link extraction — a pure
     // projection over the pruned (url, html) scan, zero exchanges; the
     // frontier url is resolved per edge (Outlinks.resolve) ----------------
@@ -994,6 +1002,28 @@ object SparkEntry {
                CAST(len(uniq) AS BIGINT) AS n_unique,
                array_to_string(uniq, chr(10)) AS dedup_text
              FROM d"""),
+      // corpus boilerplate-line replay: df over DISTINCT (url, line)
+      // pairs of non-blank lines, removal from every copy (no keeper);
+      // the hash is Spark-internal — the oracle keys on the line string
+      "x17_boilerplate_lines" ->
+        (s"""WITH l AS (SELECT url, str_split(text, chr(10)) AS lines FROM $pages),
+            nl AS (SELECT url, CAST(len(lines) AS BIGINT) AS n_lines FROM l),
+            dl AS (SELECT DISTINCT url, ln FROM (
+                     SELECT url, unnest(lines) AS ln FROM l) u
+                   WHERE trim(ln) <> ''),
+            bp AS (SELECT ln FROM dl GROUP BY ln HAVING count(*) >= 3),
+            pos AS (SELECT url, u.i AS i, u.ln AS ln FROM (
+                      SELECT url, unnest([{'i': i, 'ln': lines[i]}
+                              for i in generate_series(1, len(lines))]) AS u
+                      FROM l) q),
+            keptp AS (SELECT p.url, p.i, p.ln
+                      FROM pos p LEFT JOIN bp ON p.ln = bp.ln
+                      WHERE bp.ln IS NULL)
+            SELECT nl.url AS url, nl.n_lines,
+              CAST(nl.n_lines - count(k.i) AS BIGINT) AS n_removed,
+              coalesce(string_agg(k.ln, chr(10) ORDER BY k.i), '') AS clean_text
+            FROM nl LEFT JOIN keptp k ON k.url = nl.url
+            GROUP BY nl.url, nl.n_lines"""),
       // PageGen emits every link as a flat double-quoted
       // `<a href="...">text</a>` (no nested markup, no entities in either
       // part — asserted over the full sf0.01 table), so a regex replays

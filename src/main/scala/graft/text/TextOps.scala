@@ -578,6 +578,50 @@ object TextOps {
       array_join(uniq, "\n").as("dedup_text"))
   }
 
+  /** CORPUS-level repeated-line removal (RefinedWeb/CCNet-style
+    * boilerplate strip): a non-blank line that occurs in ≥ `minDf`
+    * distinct documents is boilerplate — nav chrome, cookie banners,
+    * footer text stamped across a whole host — and is removed from
+    * EVERY document (no keeper: unlike t26's span dedup, a line the
+    * template stamped everywhere is noise in all its copies). The
+    * within-page complement is `dedupDocLines` (x13); this is the pass
+    * that catches what a single page can't see.
+    *
+    * Scale shape: each document contributes its DISTINCT non-blank line
+    * hashes map-side (`array_distinct` before anything moves — a page
+    * that repeats its nav bar 50× ships one row), the document-frequency
+    * table is one partial-aggregated groupBy over those 8-byte keys, and
+    * the boilerplate set attaches back via the same bounded-fanout
+    * equi-join shape as t17/t26 — never a broadcast, because at corpus
+    * scale the df ≥ k line set is itself huge (every templated line on
+    * the web). The rebuild is a per-row filter against the doc's own
+    * removed-hash set (bounded by lines-per-page). Blank/whitespace
+    * lines are structure, not boilerplate: they never enter the
+    * frequency table and are always kept. */
+  def corpusLineDedup(docs: DataFrame, minDf: Int = 3): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), "\n").as("lines"))
+    val docLines = base.select(col("doc_id"),
+      explode(array_distinct(transform(
+        filter(col("lines"), l => trim(l) =!= ""),
+        l => xxhash64(l)))).as("lh"))
+    val bp = docLines.groupBy("lh").agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+    val removed = docLines.join(bp.select("lh"), "lh")
+      .groupBy("doc_id").agg(collect_list(col("lh")).as("removed"))
+    val noRemoved = slice(array(lit(0L)), lit(1), lit(0))
+    base.join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lines"),
+        coalesce(col("removed"), noRemoved).as("removed"))
+      .select(col("doc_id"), col("lines"),
+        filter(col("lines"), l =>
+          trim(l) === "" || !array_contains(col("removed"), xxhash64(l)))
+          .as("kept"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        (size(col("lines")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), "\n").as("clean_text"))
+  }
+
   /** Per-host document cap — the crawl-curation quota ("no host
     * contributes more than K documents") that stops template farms and
     * crawler traps from dominating a corpus. Ranks each host's documents

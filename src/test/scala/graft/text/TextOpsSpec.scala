@@ -505,6 +505,37 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       ("https://b.org/1", "b.org", 1L, 1L)))
   }
 
+  test("corpus line dedup: df>=k lines cut from EVERY copy, no keeper") {
+    val d = docs(
+      1L -> "unique a\nNAV BAR\nbody one",
+      2L -> "NAV BAR\nbody two\n\nmore two",
+      3L -> "body three\nNAV BAR",
+      4L -> "nothing shared here")
+    val r = TextOps.corpusLineDedup(d, minDf = 3).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((3L, 1L, "unique a\nbody one")))
+    assert(r(2L) == ((4L, 1L, "body two\n\nmore two")),
+      "blank line is structure, kept")
+    assert(r(3L) == ((2L, 1L, "body three")))
+    assert(r(4L) == ((1L, 0L, "nothing shared here")))
+  }
+
+  test("corpus line dedup: within-doc repeats count once toward df, all copies cut") {
+    // the nav line repeats inside doc 1 but df must count documents,
+    // not occurrences: with minDf=3 two documents are not enough...
+    val d2 = docs(1L -> "NAV\nbody\nNAV", 2L -> "NAV\nother")
+    val kept = TextOps.corpusLineDedup(d2, minDf = 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(kept == Map(1L -> 0L, 2L -> 0L))
+    // ...but with minDf=2 it fires and removes BOTH copies inside doc 1
+    val r2 = TextOps.corpusLineDedup(d2, minDf = 2).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r2(1L) == ((3L, 2L, "body")))
+    assert(r2(2L) == ((2L, 1L, "other")))
+  }
+
   private def spanRemoval(d: org.apache.spark.sql.DataFrame, n: Int = 8) =
     TextOps.dupSpanRemoval(d, n).collect()
       .map(r => r.getLong(0) ->
