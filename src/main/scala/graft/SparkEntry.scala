@@ -530,8 +530,18 @@ object SparkEntry {
   /** DuckDB oracle SQL (driver runs at sf0.01 with tables registered from
     * the same dir; `pages` + golden sidecars are read from the
     * materialised parquet paths). */
-  def oracleSql: Map[String, String] = {
-    val pagesDir = PagesTable.dirFor("sf0.01")
+  def oracleSql: Map[String, String] = oracleSqlFor("sf0.01")
+
+  /** SF-parametric oracle map: `Verify`/`VerifyOne` dump the map for the
+    * sf they actually ran, so a local sf0.001 replay compares against
+    * sf0.001 pages instead of spuriously failing every pages-derived
+    * query against the driver's sf0.01 tables. The l2/l3/l5 expectation
+    * sidecars are committed per-sf (`tools/gen_layout_sidecars.py <sf>`);
+    * when none exists for the requested sf those three entries are
+    * DROPPED from the map (the checker then skips them) rather than
+    * comparing against another scale's expectations. */
+  def oracleSqlFor(sf: String): Map[String, String] = {
+    val pagesDir = PagesTable.dirFor(sf)
     val pages = s"read_parquet('$pagesDir/*.parquet')"
     // resolved outlink edge list shared by the web-graph oracles (g1-g4):
     // the regex replays the DOM walk because PageGen links are flat (see
@@ -675,7 +685,7 @@ object SparkEntry {
                               ORDER BY list_cosine_similarity(e, c) DESC, cell ASC) AS rn
                      FROM v CROSS JOIN cent)"""
 
-    Map(
+    val all = Map(
       "x1_extract_text" -> s"SELECT url, text FROM $pages",
       "x2_extract_stats" -> s"SELECT url, length(text) AS text_chars FROM $pages",
       "x3_resume_antijoin" ->
@@ -700,16 +710,16 @@ object SparkEntry {
       "l2_merge_ensemble" ->
         (s"""SELECT url, CAST(n_merged AS INT) AS n_merged,
                CAST(order_sum AS BIGINT) AS order_sum
-             FROM read_parquet('$sidecars/sf0.01_merge2.parquet')"""),
+             FROM read_parquet('$sidecars/${sf}_merge2.parquet')"""),
       "l3_merge3_v3" ->
         (s"""SELECT url, CAST(n_merged AS INT) AS n_merged,
                CAST(order_sum AS BIGINT) AS order_sum
-             FROM read_parquet('$sidecars/sf0.01_merge3v3.parquet')"""),
+             FROM read_parquet('$sidecars/${sf}_merge3v3.parquet')"""),
       "l5_columns" ->
         (s"""SELECT url, CAST(n_paras AS INT) AS n_paras,
                CAST(n_cols AS INT) AS n_cols,
                CAST(order_sum AS BIGINT) AS order_sum
-             FROM read_parquet('$sidecars/sf0.01_cols.parquet')"""),
+             FROM read_parquet('$sidecars/${sf}_cols.parquet')"""),
       // stacked single-column geometry: every edge expands exactly to the
       // first blank strip (1px) then pads 5, clamps never bind (margins)
       "l10_postprocess" ->
@@ -1549,5 +1559,16 @@ object SparkEntry {
               FROM events)
             WHERE rn <= 3""")
     )
+    // drop the sidecar-backed trio when no committed expectation exists
+    // for this sf (driver scale sf0.01 always has them) — a missing file
+    // must surface as "skipped", never as a compare against another
+    // scale's expectations
+    val sidecarBacked = Map(
+      "l2_merge_ensemble" -> "merge2", "l3_merge3_v3" -> "merge3v3",
+      "l5_columns" -> "cols")
+    sidecarBacked.foldLeft(all) { case (m, (q, stem)) =>
+      if (new java.io.File(s"$sidecars/${sf}_$stem.parquet").isFile) m
+      else m - q
+    }
   }
 }

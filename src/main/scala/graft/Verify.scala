@@ -38,7 +38,10 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // dump the oracle map for the sf that actually ran (the driver's
+    // sf0.01 flow is unchanged; a local sf0.001 replay now compares
+    // against its own pages tables instead of the driver scale's)
+    val json = SparkEntry.oracleSqlFor(new java.io.File(sfDir).getName)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
