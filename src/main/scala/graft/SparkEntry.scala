@@ -368,10 +368,14 @@ object SparkEntry {
 
     // ---- CORPUS-level repeated-line strip (RefinedWeb-style): lines in
     // ≥3 distinct docs are template boilerplate, removed from all copies
-    // (the cross-page complement of x13's within-page dedup) -------------
+    // (the cross-page complement of x13's within-page dedup). The dedup
+    // DAG consumes its input three times (line DF, per-doc removal set,
+    // rebuild) — CacheOnce keeps the extraction mapPartitions at ONE run,
+    // same discipline as x8/x9; production reads the materialized
+    // extracted table. ----------------------------------------------------
     "x17_boilerplate_lines" -> ((s, d) =>
-      TextOps.corpusLineDedup(extractedDf(s, d)
-          .select(col("url").as("doc_id"), col("text")))
+      TextOps.corpusLineDedup(graft.util.CacheOnce(extractedDf(s, d)
+          .select(col("url").as("doc_id"), col("text"))))
         .withColumnRenamed("doc_id", "url")),
 
     // ---- link-graph construction: per-page DOM link extraction — a pure

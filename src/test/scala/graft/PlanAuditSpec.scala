@@ -262,6 +262,28 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("x17 boilerplate strip: extraction executes once; df table meets via equi-join") {
+    // corpusLineDedup consumes its input on three legs (line-DF count,
+    // per-doc removal set, rebuild) — all three must read the one cached
+    // narrow projection, no raw extraction node outside it, and the
+    // boilerplate set must attach via an equi-join (never a broadcast of
+    // a corpus-sized line set, never a cartesian).
+    spark.catalog.clearCache()
+    val qe = SparkEntry.queries("x17_boilerplate_lines")(spark, sf).queryExecution
+    val caches = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.size == 3,
+      s"all three legs must read the cached (doc_id, text) projection:\n${qe.optimizedPlan}")
+    val rawExtraction = qe.optimizedPlan.collect {
+      case p if p.nodeName.contains("MapPartitions") => p
+    }
+    assert(rawExtraction.isEmpty,
+      s"the extraction transform must live only inside the cached relation:\n${qe.optimizedPlan}")
+    assertNoCartesian(qe.explainString(FormattedMode), "x17")
+    spark.catalog.clearCache()
+  }
+
   test("x12 host cap: rank filter compiles to WindowGroupLimit (skew-proof top-k)") {
     val p = plan("x12_host_cap")
     assertNoCartesian(p, "x12")
