@@ -411,6 +411,30 @@ object SparkEntry {
         graft.web.UrlNorm.canonical(decorated).as("canon"))
     }),
 
+    // ---- robots-style URL exclusion (crawl gate): host equi-join against
+    // a per-host prefix-rule table, longest-match wins, allow wins ties.
+    // The rule table is synthesized deterministically from the corpus's
+    // own hosts so every precedence branch executes on real rows: a
+    // /articles/1 disallow overridden by a longer /articles/12 allow
+    // (n%3 hosts), a whole-host "/" disallow (n%7), and a same-prefix
+    // allow/disallow tie (n%5 — allow must win). ---------------------------
+    "x18_robots_filter" -> ((s, d) => {
+      val pages = pagesDf(s, d).select("url")
+      val hosts = pages
+        .select(regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1).as("host"))
+        .distinct()
+      val n = regexp_extract(col("host"), "site(\\d+)", 1).cast("long")
+      def rule(cond: org.apache.spark.sql.Column, prefix: String, allow: Boolean) =
+        hosts.where(cond).select(col("host"),
+          lit(prefix).as("prefix"), lit(allow).as("allow"))
+      val rules = rule(n % 3 === 0, "/articles/1", allow = false)
+        .unionAll(rule(n % 3 === 0, "/articles/12", allow = true))
+        .unionAll(rule(n % 7 === 0, "/", allow = false))
+        .unionAll(rule(n % 5 === 0, "/articles/2", allow = false))
+        .unionAll(rule(n % 5 === 0, "/articles/2", allow = true))
+      graft.web.Robots.verdicts(pages, rules)
+    }),
+
     // ---- web-graph family (GraphOps over the outlink edge list) ---------
     // host-level link graph: narrow host-pair keys, two-phase distincts
     "g1_host_graph" -> ((s, d) => GraphOps.hostGraph(GraphOps.edges(pagesDf(s, d)))),
@@ -1068,6 +1092,40 @@ object SparkEntry {
                     END AS target,
                count(*) AS in_deg, count(DISTINCT url) AS n_src_pages
              FROM e GROUP BY 1"""),
+      "x18_robots_filter" ->
+        (s"""WITH hosts AS (SELECT DISTINCT
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+               FROM $pages),
+             hn AS (SELECT host,
+                 CAST(regexp_extract(host, 'site(\\d+)', 1) AS BIGINT) AS n
+               FROM hosts),
+             rules AS (
+               SELECT host, '/articles/1' AS prefix, false AS allow
+                 FROM hn WHERE n % 3 = 0
+               UNION ALL SELECT host, '/articles/12', true
+                 FROM hn WHERE n % 3 = 0
+               UNION ALL SELECT host, '/', false FROM hn WHERE n % 7 = 0
+               UNION ALL SELECT host, '/articles/2', false
+                 FROM hn WHERE n % 5 = 0
+               UNION ALL SELECT host, '/articles/2', true
+                 FROM hn WHERE n % 5 = 0),
+             p AS (SELECT url,
+                 regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 CASE WHEN regexp_replace(url, '^[a-z]+://[^/]+', '') = ''
+                      THEN '/'
+                      ELSE regexp_replace(url, '^[a-z]+://[^/]+', '')
+                 END AS path
+               FROM $pages),
+             m AS (SELECT p.url, r.prefix, r.allow,
+                 row_number() OVER (PARTITION BY p.url
+                   ORDER BY length(r.prefix) DESC, r.allow DESC,
+                            r.prefix DESC) AS rn
+               FROM p JOIN rules r
+                 ON p.host = r.host AND starts_with(p.path, r.prefix)),
+             w AS (SELECT url, prefix, allow FROM m WHERE rn = 1)
+             SELECT p.url, coalesce(w.allow, true) AS allowed,
+                    w.prefix AS rule_prefix
+             FROM p LEFT JOIN w USING (url)"""),
       "x16_url_canon" ->
         (s"""WITH d AS (
                SELECT url,
