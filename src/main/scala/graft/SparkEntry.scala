@@ -280,6 +280,10 @@ object SparkEntry {
     // non-keeper copies of cross-document 8-gram spans are cut from the
     // text (keeper = min doc_id keeps its copy)
     "t26_span_removal" -> ((s, d) => TextOps.dupSpanRemoval(docs(s, d))),
+
+    // ---- TF-IDF top-k keywords (integer-exact idf surrogate, rank →
+    // WindowGroupLimit partial top-k below the exchange) ------------------
+    "t27_tfidf" -> ((s, d) => TextOps.tfidfKeywords(docs(s, d))),
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -1376,6 +1380,23 @@ object SparkEntry {
       // in non-keeper docs, rebuild = kept tokens re-joined by ' '
       // (string_agg skips the NULLs the cov anti-join leaves; coalesce
       // matches Spark's '' for a fully-removed document)
+      // integer-exact idf surrogate (N div df) preserves idf order for
+      // ranking without a float log; ties by term asc — bit-stable in
+      // both engines
+      "t27_tfidf" ->
+        (s"""WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf
+               FROM (SELECT doc_id, unnest($tok) AS t FROM documents) u
+               GROUP BY 1, 2),
+             df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+             n AS (SELECT count(*) AS n_docs FROM documents),
+             s AS (SELECT tf.doc_id, tf.term,
+                     CAST(tf.tf AS BIGINT) AS tf, CAST(df.df AS BIGINT) AS df,
+                     CAST(tf.tf * (n.n_docs // df.df) AS BIGINT) AS score
+                   FROM tf JOIN df USING (term) CROSS JOIN n),
+             r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term ASC) AS rank FROM s)
+             SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
+             FROM r WHERE rank <= 3"""),
       "t26_span_removal" ->
         (s"""WITH toks AS (SELECT doc_id, $tok AS w FROM documents),
             pos AS (

@@ -622,6 +622,39 @@ object TextOps {
         array_join(col("kept"), "\n").as("clean_text"))
   }
 
+  /** Per-document TF-IDF top-k keyword extraction — the corpus-indexing
+    * primitive behind topic tagging, per-domain vocabularies and
+    * quality-classifier features. Scoring is INTEGER-exact so the result
+    * is bit-stable across engines and partitionings: `score = tf ×
+    * (N div df)` (floor division — the idf surrogate that preserves the
+    * idf ORDER for ranking without a float log), ties broken by term
+    * ascending.
+    *
+    * Scale shape: one explode→(doc,term) partial-aggregated groupBy
+    * builds the tf table; the df table is a second narrow groupBy over
+    * it; N is a one-row aggregate over the input (a parquet count-star —
+    * metadata only) broadcast into the score projection. The tf table is
+    * consumed twice (df leg + score join) — CacheOnce keeps it at one
+    * build. Top-k resolves via rank → WindowGroupLimit: the partial
+    * top-k runs below the exchange, so a boilerplate term appearing in
+    * every document never concentrates rows on one task. */
+  def tfidfKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    val tf = graft.util.CacheOnce(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * (n_docs div df)"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score"), col("rank"))
+  }
+
   /** Per-host document cap — the crawl-curation quota ("no host
     * contributes more than K documents") that stops template farms and
     * crawler traps from dominating a corpus. Ranks each host's documents

@@ -291,6 +291,23 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-host cap must push partial top-k below the exchange:\n$p")
   }
 
+  test("t27 tfidf: partial top-k, cached tf table, one-row N broadcast") {
+    spark.catalog.clearCache()
+    val qe = SparkEntry.queries("t27_tfidf")(spark, sf).queryExecution
+    val p = qe.explainString(FormattedMode)
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must push partial rank below the exchange:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the one-row N aggregate must broadcast, never shuffle the tf side:\n$p")
+    // both consumers (df leg + score join) read the cached tf table
+    val caches = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.size == 2,
+      s"df leg and score join must both read the cached tf table:\n${qe.optimizedPlan}")
+    spark.catalog.clearCache()
+  }
+
   test("g1 host graph: pruned (url,html) scan, partial-aggregated host-pair rollup") {
     val p = plan("g1_host_graph")
     assertNoCartesian(p, "g1")

@@ -536,6 +536,29 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2(2L) == ((2L, 1L, "other")))
   }
 
+  test("tfidf keywords: rare terms outrank common, integer idf, term-asc ties") {
+    // 4 docs; "the" appears in all (idf surrogate 4//4=1), "rare"/"gem"
+    // in one (4//1=4); within doc 1 "rare" tf=2 beats "gem" tf=1 at the
+    // same idf; "alpha"/"beta" tie on score -> term asc
+    val d = docs(
+      1L -> "the rare rare gem the",
+      2L -> "the alpha beta",
+      3L -> "the common common",
+      4L -> "the words here")
+    val r = TextOps.tfidfKeywords(d, k = 2).collect()
+      .map(x => (x.getLong(0), x.getInt(5)) ->
+        ((x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    // doc 1: rare tf=2 df=1 score=2*4=8; gem tf=1 df=1 score=4
+    assert(r((1L, 1)) == (("rare", 2L, 1L, 8L)))
+    assert(r((1L, 2)) == (("gem", 1L, 1L, 4L)))
+    // doc 2: alpha/beta both tf=1 df=1 score=4 -> term asc
+    assert(r((2L, 1)) == (("alpha", 1L, 1L, 4L)))
+    assert(r((2L, 2)) == (("beta", 1L, 1L, 4L)))
+    // doc 3: common tf=2 df=1 score=8 beats the (tf=1 df=4 score=1)
+    assert(r((3L, 1)) == (("common", 2L, 1L, 8L)))
+    assert(r((3L, 2)) == (("the", 1L, 4L, 1L)))
+  }
+
   private def spanRemoval(d: org.apache.spark.sql.DataFrame, n: Int = 8) =
     TextOps.dupSpanRemoval(d, n).collect()
       .map(r => r.getLong(0) ->
