@@ -520,6 +520,11 @@ object SparkEntry {
     // exact integer dot inside IVF cells — ranks AND dots hash-checked.
     "e8_sq_knn" -> ((s, d) => Ann.sqKnn(emb(s, d), k = 5)),
 
+    // ---- deterministic integer-exact k-means (Lloyd, 2 fixed rounds)
+    // over the SQ code space — cluster-balanced sampling / SemDeDup's
+    // clustering stage; broadcast centroids + map-side-combinable argmin
+    "e10_kmeans" -> ((s, d) => Ann.kmeansAssign(emb(s, d), k = 8, iters = 2)),
+
     // near-dup pairs → transitive duplicate CLUSTERS → one keeper each:
     // the step that makes pairwise dedup actually delete (A~B, B~C must
     // collapse {A,B,C} to one doc). Distributed min-label propagation;
@@ -703,6 +708,49 @@ object SparkEntry {
       (s"SELECT doc_id, " +
        (0 until 8).map(i => s"min(${h60(s"'$i:' || s")}) AS h$i").mkString(", ") +
        s" FROM $shingles GROUP BY doc_id")
+    // integer-exact k-means replay (e10): e8's quantization CTEs, md5
+    // "k:" stride seeds, then 2 unrolled Lloyd rounds — floor-mean
+    // centroid update (sum // count over non-negative codes == Spark's
+    // div), exact squared-L2 assignment with cluster-asc ties, empty
+    // clusters keep their previous centroid via the LEFT JOIN coalesce
+    val kmeansSelect = {
+      val distSql = (c: String) =>
+        s"""SELECT ql.vec_id, c.cluster,
+              CAST(list_sum([(ql.qv[j] - c.cv[j]) * (ql.qv[j] - c.cv[j])
+                for j in generate_series(1, len(ql.qv))]) AS BIGINT) AS dist
+            FROM ql CROSS JOIN $c c"""
+      def assignSql(i: Int) =
+        s"""d$i AS (${distSql(s"c$i")}),
+            a$i AS (SELECT vec_id, cluster, dist FROM (
+                      SELECT *, row_number() OVER (PARTITION BY vec_id
+                        ORDER BY dist ASC, cluster ASC) AS rn FROM d$i)
+                    WHERE rn = 1)"""
+      val rounds = (1 to 2).map { i =>
+        s"""u$i AS (SELECT a.cluster, q.j,
+                CAST(sum(q.q) // count(*) AS BIGINT) AS cq
+              FROM a${i - 1} a JOIN q ON q.vec_id = a.vec_id GROUP BY 1, 2),
+            ul$i AS (SELECT cluster, list(cq ORDER BY j) AS cv
+                     FROM u$i GROUP BY cluster),
+            c$i AS (SELECT p.cluster, coalesce(n.cv, p.cv) AS cv
+                    FROM c${i - 1} p LEFT JOIN ul$i n USING (cluster)),
+            ${assignSql(i)}"""
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+          ex AS (SELECT vec_id, unnest(range(len(e))) AS j, unnest(e) AS x FROM v),
+          rng AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
+          q AS (SELECT vec_id, j,
+                  CASE WHEN mx = mn THEN 0
+                       ELSE CAST(floor((x - mn) * 127.0 / (mx - mn)) AS BIGINT)
+                  END AS q
+                FROM ex JOIN rng USING (j)),
+          ql AS (SELECT vec_id, list(q ORDER BY j) AS qv FROM q GROUP BY vec_id),
+          par AS (SELECT greatest(1, count(*) // 8) AS stride FROM v),
+          c0 AS (SELECT vec_id AS cluster, qv AS cv FROM ql, par
+                 WHERE ${h60("'k:' || CAST(vec_id AS VARCHAR)")} % stride = 0),
+          ${assignSql(0)},
+          $rounds
+          SELECT vec_id, cluster, dist FROM a2"""
+    }
     // IVF assignment replay (shared by e2/e4): deterministic md5-sampled
     // centroids, rank by cosine desc with cell-asc tie-break
     def ivfAssignSql(nprobe: Int) =
@@ -1553,6 +1601,7 @@ object SparkEntry {
             JOIN v vb ON vb.vec_id = cand.b
             WHERE list_cosine_similarity(va.e, vb.e) >= 0.42"""
       },
+      "e10_kmeans" -> kmeansSelect,
       "e8_sq_knn" ->
         // IVF-SQ replay: the shared ivfAssign CTE for cells, then per-dim
         // min/max over the SAME widened doubles, the identical

@@ -335,6 +335,70 @@ object Ann {
         col("rank"), col("dot"))
   }
 
+  /** Deterministic INTEGER-exact k-means (Lloyd) over the SQ code space —
+    * the clustering primitive behind cluster-balanced sampling and
+    * SemDeDup-style semantic dedup. Everything is exact integer
+    * arithmetic so the result is bit-identical across engines and
+    * partitionings: vectors are the int8 SQ codes ([[sqQuantize]], codes
+    * in [0,127]), distance is exact squared L2 (≤ 127²·dim ≪ 2⁶³),
+    * assignment ties break cluster-asc, and the centroid update is the
+    * elementwise FLOOR mean `sum div count` (codes are non-negative, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree) — which
+    * also keeps centroids in the code space across iterations. Seeds are
+    * the md5-stride sample ([[centroids]] idiom, "k:" salt), cluster id =
+    * seed vec_id; a cluster that loses all members keeps its previous
+    * centroid (both engines replay the same rule). A FIXED `iters` Lloyd
+    * rounds, no convergence test — determinism over adaptivity, exactly
+    * like the integer PageRank.
+    *
+    * Scale shape: per round, assignment is one broadcast of the K-row
+    * centroid table + a map-side-combinable `min(struct(dist, cluster))`
+    * groupBy (never a window over n·K rows), and the update is a
+    * (cluster, dim)-keyed partial-aggregated groupBy — both the same
+    * shapes at 10¹² rows. The quantized table is consumed by every round
+    * (2·iters+1 legs): CacheOnce keeps it at one build per action. K is
+    * bounded by the caller exactly like IVF cells ([[MaxAutoCells]]
+    * rationale); past that, cluster hierarchically as in
+    * [[ivfAssignHierarchical]]. */
+  def kmeansAssign(emb: DataFrame, k: Int = 8, iters: Int = 2): DataFrame = {
+    val qv = graft.util.CacheOnce(sqQuantize(emb))
+    val par = qv.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), floor(col("n") / k).cast("long")).as("stride"))
+    val init = qv.crossJoin(broadcast(par))
+      .filter(pmod(graft.text.TextOps.md5Hash60(
+        concat(lit("k:"), col("vec_id").cast("string"))), col("stride")) === 0)
+      .select(col("vec_id").as("cluster"), col("qv").as("cv"))
+    def assign(cent: DataFrame): DataFrame =
+      qv.crossJoin(broadcast(cent))
+        .withColumn("dist",
+          aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+        .groupBy("vec_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("m.cluster").as("cluster"),
+          col("m.dist").as("dist"))
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val next = assigned.join(qv, "vec_id")
+        .select(col("cluster"), posexplode(col("qv")).as(Seq("j", "q")))
+        .groupBy("cluster", "j")
+        .agg(expr("sum(q) div count(1)").as("cq"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("j"), col("cq")))).as("a"))
+        .select(col("cluster"),
+          transform(col("a"), s => s.getField("cq")).as("cv"))
+      prev.select(col("cluster"), col("cv").as("pcv"))
+        .join(next, Seq("cluster"), "left")
+        .select(col("cluster"), coalesce(col("cv"), col("pcv")).as("cv"))
+    }
+    var cent = init
+    var assigned = assign(cent)
+    for (_ <- 1 to iters) {
+      cent = update(assigned, cent)
+      assigned = assign(cent)
+    }
+    assigned
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the IVF home cells (each surviving pair scored once, a < b). */
   def cosineDupPairs(emb: DataFrame, threshold: Double, cells: Int = 0): DataFrame = {

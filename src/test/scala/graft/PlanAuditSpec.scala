@@ -291,6 +291,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-host cap must push partial top-k below the exchange:\n$p")
   }
 
+  test("e10 kmeans: broadcast centroids, map-side argmin, no window over n*K") {
+    spark.catalog.clearCache()
+    val qe = SparkEntry.queries("e10_kmeans")(spark, sf).queryExecution
+    val p = qe.explainString(FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"every Lloyd round must broadcast the K-row centroid table:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the n-side must never shuffle against centroids:\n$p")
+    assert(!p.contains("Window"),
+      s"argmin must be the partial-aggregated min(struct), not a window over n*K rows:\n$p")
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"assignment min must combine map-side:\n$p")
+    spark.catalog.clearCache()
+  }
+
   test("t27 tfidf: partial top-k, cached tf table, one-row N broadcast") {
     spark.catalog.clearCache()
     val qe = SparkEntry.queries("t27_tfidf")(spark, sf).queryExecution

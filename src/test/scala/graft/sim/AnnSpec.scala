@@ -327,4 +327,48 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"$name must self-release its persisted assignment after the action")
     }
   }
+
+  test("kmeans: blob purity and bit-identical assignment under repartitioning") {
+    val s = spark
+    import s.implicits._
+    val dim = 8
+    // two tight blobs at opposite corners of the quantized code space
+    val rows = (0L until 40L).map { id =>
+      val base = if (id < 20) 0.0 else 10.0
+      (id, Array.fill(dim)((base + 0.01 * ((id % 5) + 1)).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val r1 = Ann.kmeansAssign(emb, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1.size == 40)
+    // purity: after 2 Lloyd rounds no cluster spans the two blobs
+    r1.groupBy(_._2).foreach { case (c, members) =>
+      val ids = members.keys.toSet
+      assert(ids.forall(_ < 20L) || ids.forall(_ >= 20L),
+        s"cluster $c spans both blobs: $ids")
+    }
+    // integer arithmetic end-to-end: the exact same result on any
+    // partitioning (floor means and exact distances admit no float drift)
+    val r7 = Ann.kmeansAssign(emb.repartition(7), k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r7 == r1)
+    spark.catalog.clearCache()
+  }
+
+  test("kmeans: clusters emptied by ties keep their previous centroid (no crash, total output)") {
+    val s = spark
+    import s.implicits._
+    // all vectors identical -> every distance ties -> everything assigns
+    // to the LOWEST seed cluster; the other seed clusters are empty in
+    // every update round and must survive via the previous-centroid rule
+    val emb = (0L until 12L).map(id => (id, Array.fill(4)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Ann.kmeansAssign(emb, k = 6, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 12)
+    val clusters = out.map(_._2).distinct
+    assert(clusters.length == 1, s"ties must all break to one cluster: ${clusters.toSeq}")
+    assert(out.forall(_._3 == 0L), "identical vectors sit on their centroid")
+    spark.catalog.clearCache()
+  }
 }
