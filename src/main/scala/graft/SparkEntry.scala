@@ -713,7 +713,9 @@ object SparkEntry {
     // centroid update (sum // count over non-negative codes == Spark's
     // div), exact squared-L2 assignment with cluster-asc ties, empty
     // clusters keep their previous centroid via the LEFT JOIN coalesce
-    val kmeansSelect = {
+    // CTE chain ending in the final assignment `a2` — shared by e10
+    // (whole result) and e11 (per-cluster seeded cap on top)
+    val kmeansCtes = {
       val distSql = (c: String) =>
         s"""SELECT ql.vec_id, c.cluster,
               CAST(list_sum([(ql.qv[j] - c.cv[j]) * (ql.qv[j] - c.cv[j])
@@ -735,7 +737,7 @@ object SparkEntry {
                     FROM c${i - 1} p LEFT JOIN ul$i n USING (cluster)),
             ${assignSql(i)}"""
       }.mkString(",\n")
-      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+      s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
           ex AS (SELECT vec_id, unnest(range(len(e))) AS j, unnest(e) AS x FROM v),
           rng AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
           q AS (SELECT vec_id, j,
@@ -748,9 +750,9 @@ object SparkEntry {
           c0 AS (SELECT vec_id AS cluster, qv AS cv FROM ql, par
                  WHERE ${h60("'k:' || CAST(vec_id AS VARCHAR)")} % stride = 0),
           ${assignSql(0)},
-          $rounds
-          SELECT vec_id, cluster, dist FROM a2"""
+          $rounds"""
     }
+    val kmeansSelect = s"WITH $kmeansCtes SELECT vec_id, cluster, dist FROM a2"
     // IVF assignment replay (shared by e2/e4): deterministic md5-sampled
     // centroids, rank by cosine desc with cell-asc tie-break
     def ivfAssignSql(nprobe: Int) =
