@@ -525,6 +525,10 @@ object SparkEntry {
     // clustering stage; broadcast centroids + map-side-combinable argmin
     "e10_kmeans" -> ((s, d) => Ann.kmeansAssign(emb(s, d), k = 8, iters = 2)),
 
+    // cluster-balanced subsample: ≤10 per semantic cluster by seeded-hash
+    // order — the diversity cap; rank → WindowGroupLimit partial top-m
+    "e11_cluster_sample" -> ((s, d) => Ann.clusterSample(emb(s, d), m = 10)),
+
     // near-dup pairs → transitive duplicate CLUSTERS → one keeper each:
     // the step that makes pairwise dedup actually delete (A~B, B~C must
     // collapse {A,B,C} to one doc). Distributed min-label propagation;
@@ -1604,6 +1608,16 @@ object SparkEntry {
             WHERE list_cosine_similarity(va.e, vb.e) >= 0.42"""
       },
       "e10_kmeans" -> kmeansSelect,
+      // seeded-hash per-cluster cap over the SAME replayed assignment
+      "e11_cluster_sample" ->
+        (s"""WITH $kmeansCtes,
+             h AS (SELECT vec_id, cluster,
+                     row_number() OVER (PARTITION BY cluster
+                       ORDER BY ${h60("'cs:' || CAST(vec_id AS VARCHAR)")} ASC,
+                                vec_id ASC) AS rank
+                   FROM a2)
+             SELECT vec_id, cluster, CAST(rank AS INT) AS rank
+             FROM h WHERE rank <= 10"""),
       "e8_sq_knn" ->
         // IVF-SQ replay: the shared ivfAssign CTE for cells, then per-dim
         // min/max over the SAME widened doubles, the identical

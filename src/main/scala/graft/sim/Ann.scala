@@ -399,6 +399,30 @@ object Ann {
     assigned
   }
 
+  /** Cluster-balanced subsample — the diversity-sampling stage that turns
+    * [[kmeansAssign]] into a curation operator (SemDeDup/DoReMi-style:
+    * cap each semantic cluster at `m` members so no dense region
+    * dominates the training mix). Selection within a cluster is by
+    * seeded-hash order (md5 of "`seed`:vec_id", vec_id-asc ties) — a
+    * deterministic uniform draw with no RNG state, the same discipline
+    * as the tier-mix/split operators: reproducible on any cluster, any
+    * partitioning, any retry.
+    *
+    * Scale shape: everything [[kmeansAssign]] does, plus one rank that
+    * compiles to WindowGroupLimit — the per-cluster partial top-m runs
+    * below the exchange, so a mega-cluster (the failure mode this
+    * operator exists to cap) never concentrates rows on one task. */
+  def clusterSample(emb: DataFrame, m: Int, k: Int = 8, iters: Int = 2,
+                    seed: String = "cs"): DataFrame = {
+    val w = Window.partitionBy("cluster").orderBy(col("h").asc, col("vec_id").asc)
+    kmeansAssign(emb, k, iters)
+      .withColumn("h", graft.text.TextOps.md5Hash60(
+        concat(lit(s"$seed:"), col("vec_id").cast("string"))))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= m)
+      .select(col("vec_id"), col("cluster"), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the IVF home cells (each surviving pair scored once, a < b). */
   def cosineDupPairs(emb: DataFrame, threshold: Double, cells: Int = 0): DataFrame = {

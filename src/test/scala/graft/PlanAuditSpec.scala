@@ -304,6 +304,13 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"assignment min must combine map-side:\n$p")
     spark.catalog.clearCache()
+    // the sampling head on top of the same assignment: per-cluster cap
+    // must be a partial top-m (a mega-cluster never lands on one task)
+    val ps = SparkEntry.queries("e11_cluster_sample")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(ps.contains("WindowGroupLimit"),
+      s"cluster cap must push partial top-m below the exchange:\n$ps")
+    spark.catalog.clearCache()
   }
 
   test("t27 tfidf: partial top-k, cached tf table, one-row N broadcast") {

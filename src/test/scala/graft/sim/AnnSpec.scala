@@ -355,6 +355,34 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("cluster sample: per-cluster cap enforced, members from the assignment, deterministic") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 60L).map { id =>
+      val base = if (id < 30) 0.0 else 10.0
+      (id, Array.fill(8)((base + 0.01 * ((id % 6) + 1)).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val assign = Ann.kmeansAssign(emb, k = 4, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val sample = Ann.clusterSample(emb, m = 5, k = 4, iters = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // ≤ m per cluster, ranks dense 1..n, membership consistent with the
+    // full assignment
+    sample.groupBy(_._2).foreach { case (c, members) =>
+      assert(members.length <= 5, s"cluster $c over cap")
+      assert(members.map(_._3).sorted.toSeq == (1 to members.length),
+        s"cluster $c ranks not dense")
+    }
+    sample.foreach { case (id, c, _) => assert(assign(id) == c) }
+    spark.catalog.clearCache()
+    val again = Ann.clusterSample(emb.repartition(7), m = 5, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(again.toSet == sample.toSet, "seeded draw must be partitioning-independent")
+    spark.catalog.clearCache()
+  }
+
   test("kmeans: clusters emptied by ties keep their previous centroid (no crash, total output)") {
     val s = spark
     import s.implicits._
