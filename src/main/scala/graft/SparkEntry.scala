@@ -439,6 +439,28 @@ object SparkEntry {
       graft.web.Robots.verdicts(pages, rules)
     }),
 
+    // ---- recrawl collapse: keep the latest warc_ts snapshot per
+    // canonical url. The corpus has one crawl, so the query synthesizes
+    // the recrawl history deterministically — each url becomes
+    // 1 + len%3 snapshots, later ones under a differently-spelled URL
+    // (:443 port / trailing '?') that canonicalizes back to the same
+    // page identity, each one hour apart — and the op collapses them.
+    // One partial-agg exchange on canon; the oracle replays the chain. --
+    "x19_snapshot_dedup" -> ((s, d) => {
+      val u = col("url")
+      val snaps = pagesDf(s, d)
+        .select(u, col("warc_ts"),
+          explode(sequence(lit(0), length(u) % 3)).as("i"))
+        .select(
+          when(col("i") === 1,
+              regexp_replace(u, "^(https://[^/]+)", "$1:443"))
+            .when(col("i") === 2, concat(u, lit("?")))
+            .otherwise(u).as("url"),
+          (unix_timestamp(col("warc_ts")) + lit(3600L) * col("i"))
+            .as("ts_epoch"))
+      graft.web.Recrawl.latestSnapshot(snaps)
+    }),
+
     // ---- web-graph family (GraphOps over the outlink edge list) ---------
     // host-level link graph: narrow host-pair keys, two-phase distincts
     "g1_host_graph" -> ((s, d) => GraphOps.hostGraph(GraphOps.edges(pagesDf(s, d)))),
@@ -1184,6 +1206,48 @@ object SparkEntry {
              SELECT p.url, coalesce(w.allow, true) AS allowed,
                     w.prefix AS rule_prefix
              FROM p LEFT JOIN w USING (url)"""),
+      // recrawl collapse: the synthetic snapshot explosion, the UrlNorm
+      // canon chain (same rewrite steps as x16's oracle), then
+      // latest-wins with the greatest-url tie-break replayed as a
+      // max-join-back + max(url)
+      "x19_snapshot_dedup" ->
+        (s"""WITH s0 AS (
+               SELECT CASE CAST(i AS INT)
+                   WHEN 1 THEN regexp_replace(url,
+                     '^(https://[^/]+)', '\\1:443')
+                   WHEN 2 THEN url || '?'
+                   ELSE url END AS snap,
+                 CAST(epoch(warc_ts) AS BIGINT) + 3600 * i AS ts_epoch
+               FROM (SELECT url, warc_ts,
+                       unnest(range(0, 1 + length(url) % 3)) AS i
+                     FROM $pages)),
+             c0 AS (SELECT snap, ts_epoch,
+                 regexp_replace(snap, '#.*', '') AS nofrag FROM s0),
+             c1 AS (SELECT snap, ts_epoch, nofrag,
+                 regexp_extract(nofrag,
+                   '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1) AS auth
+               FROM c0),
+             c2 AS (SELECT snap, ts_epoch,
+                 CASE WHEN lower(auth) LIKE 'http://%'
+                        THEN regexp_replace(lower(auth), ':80$$', '')
+                      WHEN lower(auth) LIKE 'https://%'
+                        THEN regexp_replace(lower(auth), ':443$$', '')
+                      ELSE lower(auth) END ||
+                 CASE WHEN length(auth) > 0 AND length(regexp_replace(
+                          substr(nofrag, length(auth) + 1), '\\?$$', '')) = 0
+                      THEN '/'
+                      ELSE regexp_replace(
+                          substr(nofrag, length(auth) + 1), '\\?$$', '')
+                 END AS canon
+               FROM c1),
+             agg AS (SELECT canon, count(*) AS n_snaps,
+                 max(ts_epoch) AS latest_epoch
+               FROM c2 GROUP BY 1)
+             SELECT a.canon, a.n_snaps, a.latest_epoch,
+               max(s.snap) AS latest_url
+             FROM agg a JOIN c2 s
+               ON s.canon = a.canon AND s.ts_epoch = a.latest_epoch
+             GROUP BY 1, 2, 3"""),
       "x16_url_canon" ->
         (s"""WITH d AS (
                SELECT url,

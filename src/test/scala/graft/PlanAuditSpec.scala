@@ -102,6 +102,27 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"fine codebook must attach via an equi-join on the coarse cell:\n$p")
   }
 
+  test("x19 snapshot dedup: one partial-agg exchange on canon, no join, no window") {
+    val p = plan("x19_snapshot_dedup")
+    assertNoCartesian(p, "x19")
+    // latest-wins is max(struct) + count under one groupBy: exactly one
+    // shuffle (on the canonical url), with a PARTIAL aggregate before it
+    // (the var-length max buffer forces SortAggregate, but the map-side
+    // collapse to one row per (partition, canon) is what matters), no
+    // join-back and no row_number window over the snapshot history
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1,
+      s"x19 must shuffle exactly once, on canon:\n$p")
+    val aggs = "\\(\\d+\\) (Sort|Hash|ObjectHash)Aggregate".r.findAllIn(p).size
+    assert(aggs == 2, s"x19 must plan a partial+final aggregate pair:\n$p")
+    assert(p.contains("Functions [2]: [partial_count(1), partial_max") ||
+      p.contains("partial_max"),
+      s"x19 aggregation must be map-side combinable:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      s"x19 must not join back to find the latest snapshot:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"x19 must not window-sort the history:\n$p")
+  }
+
   test("t16 repetition: zero-exchange per-row projection") {
     val p = plan("t16_repetition")
     assertNoCartesian(p, "t16")
