@@ -284,6 +284,11 @@ object SparkEntry {
     // ---- TF-IDF top-k keywords (integer-exact idf surrogate, rank →
     // WindowGroupLimit partial top-k below the exchange) ------------------
     "t27_tfidf" -> ((s, d) => TextOps.tfidfKeywords(docs(s, d))),
+
+    // sliding-window chunking: zero-exchange per-row window explode
+    "t28_chunks" -> ((s, d) =>
+      TextOps.chunk(docs(s, d), capacity = 64, stride = 48)),
+
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -1515,6 +1520,25 @@ object SparkEntry {
                      ORDER BY score DESC, term ASC) AS rank FROM s)
              SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
              FROM r WHERE rank <= 3"""),
+      // sliding-window chunking (capacity 64, stride 48): chunk k covers
+      // tokens [k*48, min(k*48+64, n)); K = 1 + ceil(max(n-64,0)/48)
+      "t28_chunks" ->
+        (s"""WITH w AS (SELECT doc_id, $tok AS toks FROM documents
+               WHERE length(trim(text)) > 0),
+             n AS (SELECT doc_id, toks, length(toks) AS n FROM w),
+             k AS (SELECT doc_id, toks, n,
+                     unnest(range(0,
+                       1 + (greatest(n - 64, 0) + 47) // 48)) AS k
+                   FROM n),
+             c AS (SELECT doc_id, CAST(k AS INT) AS chunk_id,
+                     CAST(k * 48 AS INT) AS tok_start,
+                     CAST(least(k * 48 + 64, n) AS INT) AS tok_end, toks
+                   FROM k)
+             SELECT doc_id, chunk_id, tok_start, tok_end,
+               tok_end - tok_start AS n_toks,
+               array_to_string(toks[tok_start + 1 : tok_end], ' ')
+                 AS chunk_text
+             FROM c"""),
       "t26_span_removal" ->
         (s"""WITH toks AS (SELECT doc_id, $tok AS w FROM documents),
             pos AS (

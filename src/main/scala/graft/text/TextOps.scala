@@ -887,4 +887,45 @@ object TextOps {
           transform(col("kept"), j => element_at(col("w"), j)))
           .as("clean_text"))
   }
+
+  /** Sliding-window document chunking: cut every document into
+    * fixed-capacity token windows advanced by `stride` (overlap =
+    * capacity - stride), the per-document counterpart of [[packAssign]]
+    * (which concatenates ACROSS documents): long documents become
+    * several training sequences with shared context at the seams, the
+    * standard rewrite before tokenizer-level packing. Chunk k covers
+    * token positions [k·stride, min(k·stride + capacity, n)); the last
+    * chunk may be short; every token is covered; whitespace-only
+    * documents yield no chunks.
+    *
+    * Scale shape: ZERO exchanges — one codegen'd projection (split) +
+    * one Generate (the per-document window explode, fan-out
+    * ⌈n/stride⌉ bounded by the document length) per row; chunk rows
+    * inherit the scan's partitioning, so 10^12 documents chunk
+    * embarrassingly parallel with no shuffle, no window function and
+    * no driver involvement. Output sizing at the sink is the writer's
+    * maxRecordsPerFile / AQE advisory problem, not this operator's. */
+  def chunk(docs: DataFrame, capacity: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride >= 1 && stride <= capacity,
+      s"need 1 <= stride <= capacity, got stride=$stride capacity=$capacity")
+    // K-1 = ceil(max(n - capacity, 0) / stride), as integer arithmetic
+    val lastK =
+      expr(s"(greatest(n - $capacity, 0) + ${stride - 1}) div $stride")
+        .cast("int")
+    docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        explode(sequence(lit(0), lastK)).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("tok_start"),
+        least(col("chunk_id") * stride + capacity, col("n")).as("tok_end"),
+        col("toks"))
+      .select(col("doc_id"), col("chunk_id"), col("tok_start"), col("tok_end"),
+        (col("tok_end") - col("tok_start")).as("n_toks"),
+        array_join(
+          slice(col("toks"), col("tok_start") + 1,
+            col("tok_end") - col("tok_start")), " ").as("chunk_text"))
+  }
 }

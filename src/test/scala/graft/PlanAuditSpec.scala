@@ -123,6 +123,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"x19 must not window-sort the history:\n$p")
   }
 
+  test("t28 chunking: zero-exchange per-row window explode") {
+    val p = plan("t28_chunks")
+    assertNoCartesian(p, "t28")
+    // chunk rows inherit the scan partitioning: split + Generate only
+    assert(!p.contains("Exchange"), s"t28 must not shuffle:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"t28 must not use a window function:\n$p")
+    assert(p.contains("Generate"),
+      s"t28 should explode windows per row via Generate:\n$p")
+  }
+
   test("t16 repetition: zero-exchange per-row projection") {
     val p = plan("t16_repetition")
     assertNoCartesian(p, "t16")

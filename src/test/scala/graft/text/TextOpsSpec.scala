@@ -619,4 +619,32 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(7L) == ((2L, 2L, "")))
     assert(r(8L)._2 == 0L)
   }
+
+  private def chunksOf(text: String, capacity: Int, stride: Int) =
+    TextOps.chunk(docs(1L -> text), capacity, stride).collect()
+      .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(5)))
+      .sortBy(_._1).toSeq
+
+  test("chunking: overlapping windows cover every token, short tail kept") {
+    // 9 tokens, capacity 4, stride 2 -> starts 0,2,4,6 (K = 1+ceil(5/2))
+    val c = chunksOf("t1 t2 t3 t4 t5 t6 t7 t8 t9", capacity = 4, stride = 2)
+    assert(c == Seq(
+      (0, 0, 4, "t1 t2 t3 t4"),
+      (1, 2, 6, "t3 t4 t5 t6"),
+      (2, 4, 8, "t5 t6 t7 t8"),
+      (3, 6, 9, "t7 t8 t9")))
+  }
+
+  test("chunking: doc shorter than capacity is one whole chunk; stride = capacity tiles without overlap") {
+    assert(chunksOf("a b", capacity = 4, stride = 2) == Seq((0, 0, 2, "a b")))
+    assert(chunksOf("a b c d e", capacity = 2, stride = 2) == Seq(
+      (0, 0, 2, "a b"), (1, 2, 4, "c d"), (2, 4, 5, "e")))
+  }
+
+  test("chunking: whitespace-only and exact-capacity docs") {
+    assert(chunksOf("   ", capacity = 4, stride = 2).isEmpty)
+    // n == capacity -> exactly one chunk, no empty trailing window
+    assert(chunksOf("a b c d", capacity = 4, stride = 2) ==
+      Seq((0, 0, 4, "a b c d")))
+  }
 }
