@@ -289,6 +289,13 @@ object SparkEntry {
     "t28_chunks" -> ((s, d) =>
       TextOps.chunk(docs(s, d), capacity = 64, stride = 48)),
 
+    // corpus-self-trained bigram-LM quality score (CCNet-style filter),
+    // integer basis points so the oracle replays bit-identically
+    "t29_lm_score" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.lmScore(dd, dd)
+    }),
+
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -1520,6 +1527,26 @@ object SparkEntry {
                      ORDER BY score DESC, term ASC) AS rank FROM s)
              SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
              FROM r WHERE rank <= 3"""),
+      // bigram-LM score: the same transition-count model + basis-point
+      // floor-divisions, joined on the raw gram strings (the Spark side
+      // joins on their xxhash64 keys — same equivalence)
+      "t29_lm_score" ->
+        (s"""WITH w AS (SELECT doc_id, $tok AS w FROM documents),
+             bg AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+                      SELECT doc_id,
+                        unnest([{'p': w[i], 'g': w[i] || ' ' || w[i+1]}
+                                for i in generate_series(1, length(w) - 1)])
+                          AS u
+                      FROM w WHERE length(w) >= 2) q),
+             c2 AS (SELECT g, p, count(*) AS c2 FROM bg GROUP BY 1, 2),
+             c1 AS (SELECT p, count(*) AS c1 FROM bg GROUP BY 1),
+             model AS (SELECT g, (10000 * c2.c2) // c1.c1 AS bp
+                       FROM c2 JOIN c1 USING (p)),
+             docc AS (SELECT doc_id, g, count(*) AS occ FROM bg GROUP BY 1, 2)
+             SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+               CAST(sum(occ * bp) AS BIGINT) AS sum_bp,
+               CAST(sum(occ * bp) // sum(occ) AS BIGINT) AS avg_bp
+             FROM docc JOIN model USING (g) GROUP BY 1"""),
       // sliding-window chunking (capacity 64, stride 48): chunk k covers
       // tokens [k*48, min(k*48+64, n)); K = 1 + ceil(max(n-64,0)/48)
       "t28_chunks" ->

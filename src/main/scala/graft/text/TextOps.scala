@@ -888,6 +888,57 @@ object TextOps {
           .as("clean_text"))
   }
 
+  /** Corpus-trained bigram-LM quality score — the statistical-language-
+    * model filter of the CCNet/RefinedWeb lineage, integer-exact: train
+    * transition counts on `model`, then score every `docs` row by its
+    * average bigram transition probability in basis points
+    * (`(10000·count(w₁w₂)) div count(w₁·)`, Long floor-division, so the
+    * oracle replays bit-identically — no floating log-perplexity).
+    * Low-probability-mass documents (gibberish, OCR noise, template
+    * fragments, wrong-language text under a same-script corpus) score
+    * low; fluent text tracks the corpus's own transition statistics.
+    * Unseen bigrams score 0 (left join), documents under two tokens are
+    * excluded (they have no transitions). Self-scoring (`model eq docs`)
+    * is the CCNet shape with the corpus standing in for the clean LM
+    * corpus.
+    *
+    * Scale shape: the model is two partial-aggregated groupBys over ONE
+    * cached bigram-occurrence pass (8-byte xxhash64 keys — gram strings
+    * never shuffle), joined prefix→bigram to fold the division into a
+    * per-gram basis-point table. The doc side combines (doc, gram)
+    * multiplicities map-side before the single model equi-join (the t17
+    * bounded-fanout shape — a hot bigram contributes one row per task,
+    * not one per occurrence), then one partial-agg groupBy per doc_id.
+    * No window, no cartesian; zipfian gram skew rides AQE + the
+    * map-side combines. */
+  def lmScore(model: DataFrame, docs: DataFrame): DataFrame = {
+    def bigrams(d: DataFrame): DataFrame = {
+      val w = tokens(col("text"))
+      d.select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"),
+          slice(col("w"), lit(1), size(col("w")) - 1).as("a"),
+          slice(col("w"), lit(2), size(col("w")) - 1).as("b"))
+        .select(col("doc_id"), explode(arrays_zip(col("a"), col("b"))).as("z"))
+        .select(col("doc_id"),
+          xxhash64(col("z.a")).as("ph"),
+          xxhash64(concat(col("z.a"), lit(" "), col("z.b"))).as("gh"))
+    }
+    val occM = graft.util.CacheOnce(bigrams(model).select("ph", "gh"))
+    val c2 = occM.groupBy("gh", "ph").agg(count(lit(1)).as("c2"))
+    val c1 = occM.groupBy("ph").agg(count(lit(1)).as("c1"))
+    val probs = c2.join(c1, "ph")
+      .select(col("gh"), expr("(10000L * c2) div c1").as("bp"))
+    bigrams(docs)
+      .groupBy("doc_id", "gh").agg(count(lit(1)).as("occ"))
+      .join(probs, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_bigrams"),
+        sum(col("occ") * coalesce(col("bp"), lit(0L))).as("sum_bp"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_bp"),
+        expr("sum_bp div n_bigrams").as("avg_bp"))
+  }
+
   /** Sliding-window document chunking: cut every document into
     * fixed-capacity token windows advanced by `stride` (overlap =
     * capacity - stride), the per-document counterpart of [[packAssign]]

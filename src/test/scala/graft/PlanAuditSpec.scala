@@ -123,6 +123,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"x19 must not window-sort the history:\n$p")
   }
 
+  test("t29 lm score: hashed-gram equi-joins, map-side combines, no cartesian, no window") {
+    val p = plan("t29_lm_score")
+    assertNoCartesian(p, "t29")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"model must attach via equi-joins on the 8-byte gram keys:\n$p")
+    assert(p.contains("xxhash64"),
+      s"gram strings must be hashed before any shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"transition counts and per-doc sums must combine map-side:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains(" Window "),
+      s"t29 must not use a window function:\n$p")
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the model bigram pass must be cached once, not rebuilt per leg:\n$p")
+  }
+
   test("t28 chunking: zero-exchange per-row window explode") {
     val p = plan("t28_chunks")
     assertNoCartesian(p, "t28")

@@ -620,6 +620,26 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(8L)._2 == 0L)
   }
 
+  test("lm score: basis-point transition probabilities, hand-computed") {
+    val d = docs(1L -> "a b a c", 2L -> "a b", 3L -> "x")
+    // model (self): c1(a)=3, c1(b)=1; bp(ab)=20000/3=6666, bp(ba)=10000,
+    // bp(ac)=10000/3=3333; doc 3 has no transition -> excluded
+    val r = TextOps.lmScore(d, d).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(
+      1L -> ((3L, 19999L, 6666L)),
+      2L -> ((1L, 6666L, 6666L))))
+  }
+
+  test("lm score: bigrams unseen in the model score zero") {
+    val model = docs(1L -> "a b")
+    val r = TextOps.lmScore(model, docs(9L -> "a b c")).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    assert(r == Map(9L -> ((2L, 10000L, 5000L))))
+  }
+
   private def chunksOf(text: String, capacity: Int, stride: Int) =
     TextOps.chunk(docs(1L -> text), capacity, stride).collect()
       .map(r => (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(5)))
