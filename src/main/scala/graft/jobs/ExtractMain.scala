@@ -13,6 +13,8 @@ import org.apache.spark.sql.SparkSession
   *     --salt   64        # salt buckets; 0 = no payload shuffle \
   *     --run-id <id>      # lineage tag in the metrics table \
   *     --retry-failed true  # re-extract rows committed with failed=true \
+  *     --collapse-recrawls true  # multi-crawl input: keep only the
+  *                        # latest warc_ts snapshot per canonical url \
   *     --io iceberg       # storage seam: parquet (default) | iceberg \
   *     --scratch <fs dir> # metric-sidecar scratch (required with --io
   *                        # iceberg, where --out is a catalog namespace)
@@ -44,6 +46,7 @@ object ExtractMain {
       case other     => sys.error(s"--io must be parquet|iceberg, got $other")
     }
     val scratch = opts.getOrElse("scratch", "")
+    val collapse = opts.get("collapse-recrawls").exists(_.toBoolean)
     // a catalog-addressed io has no filesystem output root to default the
     // metric-sidecar scratch dir to — "cat.db/metrics_raw" is not a path
     if (io.isInstanceOf[graft.io.IcebergTableIO] && scratch.isEmpty)
@@ -63,7 +66,8 @@ object ExtractMain {
 
     val total = ExtractionJob.run(spark,
       JobConfig(pages, out, saltBuckets = salt, runId = runId,
-        retryFailed = retryFailed, io = io, scratchPath = scratch))
+        retryFailed = retryFailed, io = io, scratchPath = scratch,
+        collapseRecrawls = collapse))
     println(s"""{"run_id":"$runId","committed_docs":$total}""")
     spark.stop()
   }

@@ -36,7 +36,8 @@ final case class JobConfig(
     metricsEnabled: Boolean = true,
     retryFailed: Boolean = false,
     io: TableIO = ParquetTableIO,
-    scratchPath: String = "") {
+    scratchPath: String = "",
+    collapseRecrawls: Boolean = false) {
   def extractedTable: String = io.resolve(outPath, "extracted")
   def metricsTable: String = io.resolve(outPath, "metrics")
   def scratch: String = if (scratchPath.nonEmpty) scratchPath else outPath
@@ -161,7 +162,15 @@ object ExtractionJob {
     * (e.g. crawl-host-ordered files) or when resuming leaves a sparse,
     * skewed remainder after the anti-join. */
   def planWorkSet(spark: SparkSession, cfg: JobConfig): DataFrame = {
-    val pages = spark.read.parquet(cfg.pagesPath).select("url", "html")
+    // multi-crawl inputs: collapse to the latest warc_ts snapshot per
+    // canonical url BEFORE the resume anti-join, so a recrawl never
+    // re-extracts a page a previous run committed under the same winner
+    // url (the winner set derives from the narrow (url, ts) projection;
+    // the html payload only rides the left-semi attach)
+    val raw = spark.read.parquet(cfg.pagesPath)
+    val pages =
+      (if (cfg.collapseRecrawls) graft.web.Recrawl.keepLatest(raw) else raw)
+        .select("url", "html")
     val remaining = committedUrls(spark, cfg) match {
       case Some(committed) => pages.join(committed, Seq("url"), "left_anti")
       case None            => pages

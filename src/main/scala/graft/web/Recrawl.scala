@@ -48,4 +48,26 @@ object Recrawl {
       .select(col("canon"), col("n_snaps"),
         col("best.ts_epoch").as("latest_epoch"),
         col("best.url").as("latest_url"))
+
+  /** Keep, for every canonical URL, the FULL input row of its latest
+    * snapshot — the job-facing form of [[latestSnapshot]]: the winner
+    * set derives from the narrow `(url, tsCol)` projection (the wide
+    * payload — html bytes — never enters the aggregate), then attaches
+    * by a left-semi join on `(url, epoch)` with the narrow winner side
+    * `shuffle_hash`-hinted: no sort of the payload, no assumed
+    * broadcast (at 10^12 snapshots the winner set is ~corpus-sized).
+    * Rows duplicating both url AND timestamp (a crawler writing the
+    * identical fetch twice) all survive the semi-join — dedup of
+    * byte-identical rows is the exact-dedup operator's job, not this
+    * one's. */
+  def keepLatest(pages: DataFrame, tsCol: String = "warc_ts"): DataFrame = {
+    val withTs = pages.withColumn("__ts_epoch", unix_timestamp(col(tsCol)))
+    val winners = latestSnapshot(
+        withTs.select(col("url"), col("__ts_epoch").as("ts_epoch")))
+      .select(col("latest_url").as("url"),
+        col("latest_epoch").as("__ts_epoch"))
+    withTs.join(winners.hint("shuffle_hash"), Seq("url", "__ts_epoch"),
+        "left_semi")
+      .drop("__ts_epoch")
+  }
 }

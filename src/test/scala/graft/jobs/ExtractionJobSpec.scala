@@ -200,6 +200,36 @@ class ExtractionJobSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.toLowerCase.contains("exchange"), "salted repartition present")
   }
 
+  test("collapseRecrawls: latest snapshot per canonical url wins; resume still empty") {
+    import org.apache.spark.sql.functions._
+    val base = PagesTable.generate(spark, seed = 7L, n = 100, partitions = 2).toDF()
+    // second crawl of the even pages, an hour later, under a respelled url
+    // that canonicalizes back to the same page identity
+    val recrawl = base
+      .filter(expr("CAST(regexp_extract(url, 'articles/(\\\\d+)', 1) AS LONG) % 2 = 0"))
+      .withColumn("url", concat(col("url"), lit("?")))
+      .withColumn("warc_ts", expr("warc_ts + INTERVAL 1 HOUR"))
+    val pagesPath = s"$tmp/pages_multicrawl"
+    base.unionByName(recrawl).write.parquet(pagesPath)
+
+    val cfg = JobConfig(pagesPath, s"$tmp/out_recrawl", runId = "rc1",
+      collapseRecrawls = true)
+    assert(ExtractionJob.run(spark, cfg) == 100,
+      "150 snapshots must collapse to 100 page identities")
+    val urls = spark.read.parquet(s"${cfg.outPath}/extracted")
+      .select("url").collect().map(_.getString(0))
+    assert(urls.length == 100)
+    assert(urls.count(_.endsWith("?")) == 50,
+      "every recrawled page must commit under its LATER snapshot's url")
+
+    // resume over the same multi-crawl input: the winner urls are all
+    // committed, so the anti-join leaves nothing
+    assert(ExtractionJob.run(spark, cfg.copy(runId = "rc2")) == 100)
+    val m = ExtractionJob.readMetrics(spark, cfg).collect()
+    assert(m.filter(_.run_id == "rc2").map(_.docs_parsed).sum == 0,
+      "recrawl-collapsed resume must re-extract nothing")
+  }
+
   test("saltBuckets=0 plans a shuffle-free scan (byte-balanced splits)") {
     val pagesPath = s"$tmp/pages"
     val plan = ExtractionJob.planWorkSet(
