@@ -45,8 +45,10 @@ object CorpusBuildJob {
           seed: String = "mix", runId: String = "corpus",
           io: TableIO = ParquetTableIO,
           edgesTable: Option[String] = None,
-          pagerankIterations: Int = 3): DataFrame = {
-    val cfg = JobConfig(pagesPath, outPath, runId = runId, io = io)
+          pagerankIterations: Int = 3,
+          collapseRecrawls: Boolean = false): DataFrame = {
+    val cfg = JobConfig(pagesPath, outPath, runId = runId, io = io,
+      collapseRecrawls = collapseRecrawls)
     ExtractionJob.run(spark, cfg)
 
     val ex = ExtractionJob.readExtracted(spark, cfg)
