@@ -268,6 +268,13 @@ object SparkEntry {
       TextOps.ingestDedup(
         docs(s, d).filter(col("doc_id") % 3 =!= 0),
         docs(s, d).filter(col("doc_id") % 3 === 0))),
+    // bloom-accelerated ingest dedup: committed hashes folded into a
+    // BloomFilterAggregate sketch, bloom-negatives bypass the anti-join
+    // entirely; output is EXACTLY the anti-join's at any fp rate
+    "t30_bloom_ingest" -> ((s, d) =>
+      TextOps.ingestDedupBloom(
+        docs(s, d).filter(col("doc_id") % 4 =!= 0),
+        docs(s, d).filter(col("doc_id") % 4 === 0))),
     // tier-weighted deterministic epoch mixture over the tier table:
     // reject 0%, low 10%, mid 50%, high 100%
     "t24_tier_mix" -> ((s, d) =>
@@ -1475,6 +1482,14 @@ object SparkEntry {
             SELECT doc_id FROM nh
             WHERE h NOT IN (SELECT md5(text) FROM documents
                             WHERE doc_id % 3 = 0)"""),
+      // the bloom pre-filter is a pure optimization: its output is the
+      // exact anti-join result, so the oracle IS the anti-join
+      "t30_bloom_ingest" ->
+        ("""WITH nh AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
+                        FROM documents WHERE doc_id % 4 <> 0 GROUP BY 1)
+            SELECT doc_id FROM nh
+            WHERE h NOT IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 4 = 0)"""),
       "t24_tier_mix" ->
         (s"""WITH t AS (${tierSql("documents", "doc_id")})
              SELECT doc_id, tier FROM t

@@ -731,6 +731,64 @@ object TextOps {
       .select("doc_id")
   }
 
+  /** Bloom-accelerated variant of [[ingestDedup]] — the 10^12-committed-row
+    * resume/ingest path. [[ingestDedup]]'s anti-join shuffles BOTH sides on
+    * the hash; at web scale the incoming batch is dominated by never-seen
+    * documents that still pay that exchange. This variant builds a Bloom
+    * filter over the committed hashes with Catalyst's
+    * `BloomFilterAggregate` (the exact machinery Spark's own
+    * InjectRuntimeFilter uses for runtime row filters), then:
+    *
+    *  - bloom-NEGATIVE rows are definitely new (a Bloom filter has no
+    *    false negatives) and flow to the output with ZERO further shuffle
+    *    past the within-batch dedup;
+    *  - bloom-POSITIVE rows (true dups + the fp-rate sliver) are
+    *    exact-confirmed by the same anti-join, now over a small fraction
+    *    of the batch.
+    *
+    * The output is therefore EXACTLY [[ingestDedup]]'s at ANY false-
+    * positive rate — fpp trades confirm-join traffic, never correctness
+    * (the spec forces a saturated 1-item filter and asserts equality).
+    *
+    * Scale notes: the single driver action collects the SKETCH
+    * (O(numBits), independent of row count) — the same materialization
+    * Spark's runtime-filter subquery performs. `expectedItems` sizes the
+    * filter; past ~10^9 committed keys shard the committed side by hash
+    * range and build one filter per shard. Plan shape (PlanAuditSpec):
+    * Catalyst pushes the bloom predicate below the within-batch groupBy
+    * to sit directly above the scans — the same placement its own
+    * InjectRuntimeFilter produces — so each union branch shuffles only
+    * its share of (16-byte hash, id) rows; total exchange volume is one
+    * batch pass split across the branches, and since every h-group lands
+    * wholly in one branch the per-branch min(doc_id) is exact. */
+  def ingestDedupBloom(newDocs: DataFrame, committed: DataFrame,
+                       expectedItems: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.graft.CatalystBridge.{column => toCol, expression => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+    val committedHashes =
+      if (committed.columns.contains("content_hash"))
+        committed.select(col("content_hash").as("h"))
+      else committed.select(md5(col("text")).as("h"))
+    val keepWithin = newDocs.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min(col("doc_id")).as("doc_id"))
+
+    val bloomAgg = toCol(new BloomFilterAggregate(
+      toExpr(xxhash64(col("h"))), expectedItems).toAggregateExpression())
+    val sketch = committedHashes.agg(bloomAgg.as("bf")).head.getAs[Array[Byte]](0)
+    if (sketch == null) return keepWithin.select("doc_id") // nothing committed
+
+    def mightContain = toCol(new BloomFilterMightContain(
+      toExpr(lit(sketch)), toExpr(xxhash64(col("h")))))
+
+    val definitelyNew = keepWithin.filter(!mightContain).select("doc_id")
+    val confirmed = keepWithin.filter(mightContain)
+      .join(committedHashes.distinct(), Seq("h"), "left_anti")
+      .select("doc_id")
+    definitelyNew.unionAll(confirmed)
+  }
+
   /** Tier-weighted deterministic corpus mixing: keep each document with
     * its tier's sampling rate (basis points, 0–10000), decided by a
     * seeded md5 hash of the doc id — no rand(), no row_number(), so the

@@ -205,6 +205,26 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       "within-batch keeper must be a map-side-combinable min per hash")
   }
 
+  test("t30 bloom ingest: bloom predicate pushed to the scans, anti-join only on survivors") {
+    val p = plan("t30_bloom_ingest")
+    assertNoCartesian(p, "t30")
+    // Catalyst pushes the might_contain predicate below the within-batch
+    // groupBy (it references only the grouping key), so BOTH union branches
+    // filter scan-adjacent — the same placement Spark's InjectRuntimeFilter
+    // produces. Each h-group lands wholly in one branch, so per-branch
+    // min(doc_id) is exact, and total shuffled rows = one batch pass split
+    // across the two branch exchanges.
+    val hits = "might_contain".r.findAllIn(p).size
+    assert(hits >= 2,
+      s"bloom predicate must gate both branches at the source (found $hits):\n$p")
+    assert(p.contains("NOT might_contain"),
+      s"the definitely-new branch must be the negated bloom filter:\n$p")
+    assert("Filter \\(\\d+\\)\\s*\\n[^\\n]*Scan parquet".r.findFirstIn(p).isDefined,
+      s"bloom filters must sit directly above the scans (pre-exchange):\n$p")
+    assert(p.contains("LeftAnti"),
+      s"bloom survivors must still be exact-confirmed by the anti-join:\n$p")
+  }
+
   test("t24 tier mix: stateless hash-threshold filter on top of the tier DAG") {
     val p = plan("t24_tier_mix")
     assertNoCartesian(p, "t24")

@@ -393,6 +393,35 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Seq(22L, 24L), s"kept: $kept")
   }
 
+  test("ingestDedupBloom equals the exact anti-join at any fpp") {
+    val committed = docs(
+      (0L until 40L).map(i => i -> s"committed body number $i"): _*)
+    val batch = docs(
+      ((100L until 140L).map(i => i -> s"committed body number ${i - 100}") ++ // all dups
+        (200L until 260L).map(i => i -> s"fresh text $i") ++                   // all new
+        Seq(300L -> "fresh text 200")): _*)                                    // within-batch dup
+    val exact = TextOps.ingestDedup(batch, committed)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val viaBloom = TextOps.ingestDedupBloom(batch, committed)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(viaBloom == exact, s"bloom path diverged: $viaBloom vs $exact")
+    // A deliberately saturated 1-item filter maximizes false positives;
+    // the exact confirm join must still remove every one of them.
+    val saturated = TextOps.ingestDedupBloom(batch, committed, expectedItems = 1L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(saturated == exact, s"saturated-bloom path diverged: $saturated")
+  }
+
+  test("ingestDedupBloom with an empty committed side keeps every batch keeper") {
+    val s = spark
+    import s.implicits._
+    val committed = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = docs(1L -> "a", 2L -> "b", 3L -> "a")
+    val kept = TextOps.ingestDedupBloom(batch, committed)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L), s"kept: $kept")
+  }
+
   test("tierMix is deterministic, respects 0/10000 rates, and re-draws with the seed") {
     val s = spark
     import s.implicits._
