@@ -200,6 +200,19 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // PQ memory path (round 4): IVF-PQ codebook training + ADC ranking —
+    // reported OUTSIDE the headline total (composition frozen to the r04
+    // scale-path set, BASELINE.md)
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (_, sec) = time {
+        graft.sim.Ann.pqKnn(emb, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "e12_pq_knn" -> f"$sec%.3f"
+      spark.catalog.clearCache()
+    }
+
     // web-graph family (round 4): the zero-exchange edge projection +
     // host-pair aggregation, and the 3-iteration integer-exact PageRank.
     // Reported OUTSIDE the headline total — the total's composition is

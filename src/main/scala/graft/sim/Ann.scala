@@ -399,6 +399,117 @@ object Ann {
     assigned
   }
 
+  /** Product-quantization codebooks + codes over the SQ code space — the
+    * memory path PAST scalar quantization. The d-dim integer code vector
+    * is cut into `subspaces` contiguous subvectors; each subspace learns
+    * its own `ksub`-centroid codebook by the same deterministic
+    * integer-exact Lloyd rounds as [[kmeansAssign]] (md5-stride seeds
+    * salted "pq:", exact squared-L2, cluster-asc ties, floor-mean
+    * updates, empty cells keep their previous centroid). A vector's PQ
+    * code is its per-subspace nearest-centroid id — `subspaces` small
+    * ints instead of d, an 8× shrink vs the SQ codes at d=64/M=8 (32× vs
+    * float32): at 10⁹ vectors the resident neighbor index drops to ~10 GB
+    * cluster-wide, comfortably cacheable.
+    *
+    * Scale shape: the subspace id is DATA (one `explode(sequence)` per
+    * row), so all M codebooks train in ONE DAG — assignment is a
+    * broadcast equi-join on `sub` (codebook table is M·ksub·(d/M) = d·ksub
+    * values, a few KB) + a map-side-combinable `min(struct(dist,
+    * cluster))` groupBy, and the update is a (sub, cluster, j)-keyed
+    * partial-aggregated groupBy. No window over n·ksub rows anywhere.
+    *
+    * Returns (codes, codebook): codes = (vec_id, sub, cluster); codebook =
+    * (sub, cluster, cv array<long>) after `iters` Lloyd rounds. */
+  def pqModel(emb: DataFrame, subspaces: Int = 8, ksub: Int = 16,
+              iters: Int = 1): (DataFrame, DataFrame) =
+    pqModelFromCodes(graft.util.CacheOnce(sqQuantize(emb)), subspaces, ksub, iters)
+
+  /** [[pqModel]] over an already-quantized (and ideally cached) code
+    * table — lets [[pqKnn]] share ONE quantization pass between codebook
+    * training and the ADC query side. */
+  def pqModelFromCodes(qv: DataFrame, subspaces: Int, ksub: Int,
+                       iters: Int): (DataFrame, DataFrame) = {
+    val sv = qv
+      .select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(subspaces - 1))).as("sub"))
+      .withColumn("sd", (size(col("qv")) / subspaces).cast("int"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("qv"), col("sub") * col("sd") + 1, col("sd")).as("sv"))
+    val par = qv.agg(count(lit(1)).as("n"))
+      .select(greatest(lit(1L), floor(col("n") / ksub).cast("long")).as("stride"))
+    val init = sv.crossJoin(broadcast(par))
+      .filter(pmod(graft.text.TextOps.md5Hash60(
+        concat(lit("pq:"), col("vec_id").cast("string"))), col("stride")) === 0)
+      .select(col("sub"), col("vec_id").as("cluster"), col("sv").as("cv"))
+    def assign(cent: DataFrame): DataFrame =
+      sv.join(broadcast(cent), "sub")
+        .withColumn("dist",
+          aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, v) => acc + v))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+        .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"))
+    def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
+      val next = assigned.join(sv, Seq("vec_id", "sub"))
+        .select(col("sub"), col("cluster"), posexplode(col("sv")).as(Seq("j", "x")))
+        .groupBy("sub", "cluster", "j")
+        .agg(expr("sum(x) div count(1)").as("cq"))
+        .groupBy("sub", "cluster")
+        .agg(array_sort(collect_list(struct(col("j"), col("cq")))).as("a"))
+        .select(col("sub"), col("cluster"),
+          transform(col("a"), s => s.getField("cq")).as("cv"))
+      prev.select(col("sub"), col("cluster"), col("cv").as("pcv"))
+        .join(next, Seq("sub", "cluster"), "left")
+        .select(col("sub"), col("cluster"), coalesce(col("cv"), col("pcv")).as("cv"))
+    }
+    var cent = init
+    for (_ <- 1 to iters) cent = update(assign(cent), cent)
+    (assign(cent), cent)
+  }
+
+  /** Approximate top-k over the PRODUCT-QUANTIZED index (IVF-PQ with
+    * asymmetric distance computation): candidates come from the same
+    * one-pass IVF cell assignment as [[ivfKnn]]/[[sqKnn]], and ranking is
+    * the exact INTEGER dot of the query's TRUE SQ codes against the
+    * neighbor's PQ RECONSTRUCTION (its per-subspace centroids
+    * concatenated) — classic ADC: the query keeps full precision, only
+    * the stored index side is compressed. Every adot value and rank is
+    * integer-exact, so the whole index — codebook training included — is
+    * DuckDB-replayable (query e12).
+    *
+    * Ranking is by asymmetric quantized inner product (descending,
+    * id-asc ties), the MIPS analogue on the min-max-normalised code
+    * space — deliberately its own semantics, like [[sqKnn]].
+    *
+    * Scale shape on top of [[pqModel]]: the reconstruction join is
+    * broadcast (codebook is KBs), the per-cell candidate join ships
+    * M-int codes instead of d-dim vectors, and the top-k compiles to
+    * WindowGroupLimit (partial top-k below the exchange). Assignment and
+    * quantized table self-release via [[graft.util.CacheOnce]]. */
+  def pqKnn(emb: DataFrame, k: Int, subspaces: Int = 8, ksub: Int = 16,
+            iters: Int = 1, cells: Int = 0, nprobe: Int = 4): DataFrame = {
+    val qv = graft.util.CacheOnce(sqQuantize(emb))
+    val (codes, book) = pqModelFromCodes(qv, subspaces, ksub, iters)
+    val recon = codes.join(broadcast(book), Seq("sub", "cluster"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cv")))).as("a"))
+      .select(col("vec_id"),
+        flatten(transform(col("a"), s => s.getField("cv"))).as("rv"))
+    val assign = graft.util.CacheOnce(ivfAssign(emb, cells, nprobe)
+      .select(col("vec_id"), col("cell"), col("rn")))
+    val l = assign.join(qv, "vec_id")
+      .select(col("cell"), col("vec_id").as("a"), col("qv").as("qa"))
+    val r = assign.filter(col("rn") === 1).join(recon, "vec_id")
+      .select(col("cell").as("cellr"), col("vec_id").as("b"), col("rv").as("rb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("adot").desc, col("b").asc)
+    l.join(r, col("cell") === col("cellr") && col("a") =!= col("b"))
+      .withColumn("adot", intDot(col("qa"), col("rb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a").as("vec_id"), col("b").as("neighbor_id"),
+        col("rank"), col("adot"))
+  }
+
   /** Cluster-balanced subsample — the diversity-sampling stage that turns
     * [[kmeansAssign]] into a curation operator (SemDeDup/DoReMi-style:
     * cap each semantic cluster at `m` members so no dense region

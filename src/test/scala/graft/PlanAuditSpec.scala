@@ -243,6 +243,21 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"a pure rollup must not plan a join:\n$p")
   }
 
+  test("e12 IVF-PQ: codebook trains via broadcast equi-join, ADC ranks within cells") {
+    val p = plan("e12_pq_knn")
+    assertNoCartesian(p, "e12")
+    assert(p.contains("BroadcastExchange"),
+      s"the KB-scale codebook and centroid tables must broadcast:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"candidates must meet via the IVF cell equi-join:\n$p")
+    assert(p.contains("WindowGroupLimit") || p.contains("Window"),
+      "ADC top-k must rank within cells")
+    // codebook training must be the map-side-combinable min(struct(dist,
+    // cluster)) shape, never a window over n·ksub rows
+    assert(p.contains("min(m") || p.contains("partial_min") || p.contains("min(struct"),
+      s"PQ assignment must aggregate min(struct), not rank in a window:\n$p")
+  }
+
   test("e8 IVF-SQ: bounded broadcasts, cell equi-join ranks quantized dots") {
     val p = plan("e8_sq_knn")
     assertNoCartesian(p, "e8")

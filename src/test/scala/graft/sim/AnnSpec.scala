@@ -290,6 +290,60 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.forall(_._4 >= 0L), "integer dots of non-negative codes are >= 0")
   }
 
+  test("IVF-PQ kNN (ADC): 8x-compressed codes keep clustered neighbours in-cluster") {
+    // The property for the PQ memory path: per-subspace codebook loss
+    // must not break cluster-level neighbour structure. Same 20-cluster
+    // mixture as the SQ test; dim 16 / 8 subspaces = 2-dim codebooks.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0L until 500L).map { id =>
+      val c = centers((id % 20).toInt)
+      (id, c.map(x => (x + 0.08 * rng.nextGaussian()).toFloat))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Ann.pqKnn(emb, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.size == 500 && perQuery.values.forall(_.length == 5))
+    val sameCluster = got.count { case (a, b, _, _) => a % 20 == b % 20 }
+    info(f"IVF-PQ same-cluster fraction = ${sameCluster.toDouble / got.length}%.3f")
+    assert(sameCluster.toDouble / got.length >= 0.8,
+      s"$sameCluster/${got.length} PQ neighbours share the query's cluster")
+    assert(got.forall(_._4 >= 0L), "ADC dots of non-negative codes are >= 0")
+  }
+
+  test("PQ model: code/codebook shapes, seed clusters, reconstruction dimension") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (codes, book) = Ann.pqModel(emb, subspaces = 8, ksub = 16, iters = 1)
+    val c = codes.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(c.length == 500 * 8, s"one code per (vector, subspace): ${c.length}")
+    assert(c.map(_._2).distinct.sorted.toSeq == (0 until 8),
+      "subspace ids are exactly 0..7")
+    val bk = book.collect().map(r =>
+      (r.getInt(0), r.getLong(1), r.getSeq[Long](2)))
+    assert(bk.forall(_._3.length == 64 / 8),
+      "each codebook centroid spans dim/subspaces components")
+    val vecIds = (0L until 500L).toSet
+    assert(bk.forall(e => vecIds.contains(e._2)),
+      "cluster ids are md5-stride-sampled member vec_ids")
+    val bookKeys = bk.map(e => (e._1, e._2)).toSet
+    assert(c.forall(e => bookKeys.contains((e._2, e._3))),
+      "every assigned code refers to a codebook entry of its subspace")
+  }
+
+  test("pqKnn is bit-identical under repartitioning") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(parts: Int): Seq[(Long, Long, Int, Long)] =
+      Ann.pqKnn(emb.repartition(parts), k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    assert(run(7) == run(3),
+      "integer-exact PQ training + ADC ranking must not depend on partitioning")
+  }
+
   test("near-duplicate pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Ann.cosineDupPairs(emb, threshold = 0.95).collect()
@@ -315,6 +369,7 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     val builders: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "ivfKnn" -> (() => Ann.ivfKnn(emb, k = 3)),
       "sqKnn" -> (() => Ann.sqKnn(emb, k = 3)),
+      "pqKnn" -> (() => Ann.pqKnn(emb, k = 3)),
       "ivfKnnHierarchical" -> (() => Ann.ivfKnnHierarchical(emb, k = 3,
         coarseCells = 4, finePerCoarse = 4)))
     for ((name, build) <- builders) {
