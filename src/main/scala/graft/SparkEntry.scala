@@ -275,6 +275,13 @@ object SparkEntry {
       TextOps.ingestDedupBloom(
         docs(s, d).filter(col("doc_id") % 4 =!= 0),
         docs(s, d).filter(col("doc_id") % 4 === 0))),
+    // incremental NEAR-dup ingest: batch docs dropped on any minhash-LSH
+    // band collision with the committed corpus (signatures + banding
+    // identical to t11); committed side reduces to distinct (band,bucket)
+    "t31_neardup_ingest" -> ((s, d) =>
+      TextOps.nearDupIngest(
+        docs(s, d).filter(col("doc_id") % 5 =!= 0),
+        docs(s, d).filter(col("doc_id") % 5 === 0))),
     // tier-weighted deterministic epoch mixture over the tier table:
     // reject 0%, low 10%, mid 50%, high 100%
     "t24_tier_mix" -> ((s, d) =>
@@ -1497,6 +1504,34 @@ object SparkEntry {
             SELECT doc_id FROM nh
             WHERE h NOT IN (SELECT md5(text) FROM documents
                             WHERE doc_id % 4 = 0)"""),
+      // t11's signature + banding replayed over the two ingest sides; a
+      // batch doc survives iff NONE of its band buckets exists committed
+      "t31_neardup_ingest" -> {
+        def sigFor(cond: String) =
+          s"SELECT doc_id, " +
+            (0 until 8).map(i => s"min(${h60(s"'$i:' || s")}) AS h$i").mkString(", ") +
+            s""" FROM (SELECT doc_id, unnest(
+                   [array_to_string(w[i:i+2], ' ')
+                    for i in generate_series(1, greatest(length(w)-2, 1))]) AS s
+                 FROM (SELECT doc_id, $tok AS w FROM documents WHERE $cond) t)
+                 GROUP BY doc_id"""
+        def bucket(b: Int) = (0 until 4)
+          .map(k => s"CAST(h${b * 4 + k} AS VARCHAR)").mkString(" || ',' || ")
+        def bandedFor(sig: String) =
+          s"""SELECT doc_id, 0 AS band, md5(${bucket(0)}) AS bucket FROM $sig
+              UNION ALL
+              SELECT doc_id, 1 AS band, md5(${bucket(1)}) AS bucket FROM $sig"""
+        s"""WITH sign AS (${sigFor("doc_id % 5 <> 0")}),
+            sigc AS (${sigFor("doc_id % 5 = 0")}),
+            bn AS (${bandedFor("sign")}),
+            bc AS (SELECT DISTINCT band, bucket FROM (${bandedFor("sigc")}))
+            SELECT doc_id FROM (
+              SELECT doc_id, count(*) AS nb FROM bn
+              WHERE NOT EXISTS (SELECT 1 FROM bc
+                                WHERE bc.band = bn.band AND bc.bucket = bn.bucket)
+              GROUP BY doc_id)
+            WHERE nb = 2"""
+      },
       "t24_tier_mix" ->
         (s"""WITH t AS (${tierSql("documents", "doc_id")})
              SELECT doc_id, tier FROM t

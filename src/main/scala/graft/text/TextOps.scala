@@ -789,6 +789,46 @@ object TextOps {
     definitelyNew.unionAll(confirmed)
   }
 
+  /** Incremental NEAR-duplicate ingest dedup — the minhash companion to
+    * the exact-hash [[ingestDedup]]: a new crawl batch is deduplicated
+    * against the committed corpus by banded MinHash-LSH collision (drop a
+    * new document if ANY of its band buckets already exists in the
+    * committed corpus), the rule production crawl pipelines apply between
+    * snapshots — recrawls and boilerplate-shifted near-copies of already-
+    * committed pages never reach the corpus, at zero pairwise work.
+    * Candidate semantics are identical to [[minhashPairs]]' banding
+    * (same signatures, same md5 band buckets), so thresholds tune the
+    * same way; within-batch near-dups are deliberately out of scope here
+    * (that is the [[graft.sim.Components]] keeper pass over the committed
+    * corpus).
+    *
+    * Scale shape: the committed side reduces to DISTINCT (band, bucket)
+    * — ~16-byte rows, one per committed doc per band, with the text
+    * column never leaving its scan (in a standing pipeline this is the
+    * stored signature-bucket table, maintained incrementally and ideally
+    * bucket-table-clustered, see [[graft.io.Bucketed]]); the batch side
+    * anti-joins on (band, bucket) and a doc survives iff ALL its nBands
+    * rows survive — a count(=nBands) groupBy over nBands-per-doc rows,
+    * partial-aggregated. No pairs are ever materialized. */
+  def nearDupIngest(newDocs: DataFrame, committed: DataFrame,
+                    nHashes: Int = 8, bandSize: Int = 4): DataFrame = {
+    val nBands = nHashes / bandSize
+    def banded(src: DataFrame): DataFrame = {
+      val sig = minhash(src, nHashes)
+      (0 until nBands).map { b =>
+        val slots = (0 until bandSize).map(k => col(s"h${b * bandSize + k}"))
+        sig.select(col("doc_id"), lit(b).as("band"),
+          md5(concat_ws(",", slots.map(_.cast("string")): _*)).as("bucket"))
+      }.reduce(_ unionByName _)
+    }
+    val committedBuckets = banded(committed).select("band", "bucket").distinct()
+    banded(newDocs)
+      .join(committedBuckets, Seq("band", "bucket"), "left_anti")
+      .groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      .filter(col("nb") === nBands)
+      .select("doc_id")
+  }
+
   /** Tier-weighted deterministic corpus mixing: keep each document with
     * its tier's sampling rate (basis points, 0–10000), decided by a
     * seeded md5 hash of the doc id — no rand(), no row_number(), so the

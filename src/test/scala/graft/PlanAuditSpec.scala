@@ -225,6 +225,17 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"bloom survivors must still be exact-confirmed by the anti-join:\n$p")
   }
 
+  test("t31 neardup ingest: banded anti-join, no pair materialization, partial-agg survivor count") {
+    val p = plan("t31_neardup_ingest")
+    assertNoCartesian(p, "t31")
+    assert(p.contains("LeftAnti"),
+      s"batch bands must anti-join the committed bucket set:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"survivor count must partial-aggregate map-side:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"no pairwise scoring anywhere in the plan:\n$p")
+  }
+
   test("t24 tier mix: stateless hash-threshold filter on top of the tier DAG") {
     val p = plan("t24_tier_mix")
     assertNoCartesian(p, "t24")

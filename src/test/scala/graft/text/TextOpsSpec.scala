@@ -412,6 +412,34 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(saturated == exact, s"saturated-bloom path diverged: $saturated")
   }
 
+  test("nearDupIngest: exact copies always collide, disjoint vocabulary always survives") {
+    // Exact copies share every minhash band (signatures are equal), so
+    // they are dropped with probability 1; docs sharing NO 3-shingle with
+    // any committed doc can collide only on an md5 collision, i.e. never.
+    val committed = docs(
+      (0L until 10L).map(i =>
+        i -> s"alpha beta gamma delta epsilon zeta eta theta common text $i"): _*)
+    val batch = docs(
+      ((100L until 105L).map(i =>
+        i -> s"alpha beta gamma delta epsilon zeta eta theta common text ${i - 100}") ++ // exact copies
+        (200L until 208L).map(i =>
+          i -> s"unrelated fresh vocabulary item$i nothing shared here at all")): _*)
+    val kept = TextOps.nearDupIngest(batch, committed)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == (200L until 208L).toSeq,
+      s"exact copies must drop, disjoint-vocab docs must survive: $kept")
+  }
+
+  test("nearDupIngest: empty committed side keeps the whole batch; output is batch ids") {
+    val s = spark
+    import s.implicits._
+    val committed = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val batch = docs(1L -> "a b c d", 2L -> "e f g h")
+    val kept = TextOps.nearDupIngest(batch, committed)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(1L, 2L))
+  }
+
   test("ingestDedupBloom with an empty committed side keeps every batch keeper") {
     val s = spark
     import s.implicits._
