@@ -126,13 +126,20 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
-    // JIT warmup: one extraction pass over ~5% of the docs.
+    // JIT warmup: one extraction pass over ~5% of the docs, plus one
+    // Outlinks pass over the same slice — the graph family's tuple
+    // pipeline JITs separately from Extractor (measured: a cold
+    // GraphOps.edges rep costs 70+ s at sf0.1 vs ~3.4 s steady-state, and
+    // best-of-2 alone only reached rep-2 territory, 5–9 s)
     locally {
       import spark.implicits._
-      spark.read.parquet(pagesPath).select("url", "html")
+      val sample = spark.read.parquet(pagesPath).select("url", "html")
         .limit((PagesTable.rowsFor(sfName) / 20).toInt.max(500))
+      sample
         .as[(String, Array[Byte])]
         .mapPartitions(_.map { case (u, h) => graft.extract.Extractor.extract(u, h) })
+        .write.mode("overwrite").format("noop").save()
+      graft.graph.GraphOps.edges(sample)
         .write.mode("overwrite").format("noop").save()
     }
 

@@ -538,6 +538,23 @@ object SparkEntry {
             .select(col("url").as("doc_id"), col("text"))))
         .withColumnRenamed("doc_id", "url"))),
 
+    // TrustRank: PageRank personalized to a trusted seed set (teleport +
+    // dangling mass land only on seeds) — the spam-demotion companion to
+    // g3. Seeds here: a deterministic pseudo-whitelist (~1/7 of linking
+    // pages by seeded hash); production passes its curated host list. The
+    // narrow edge projection is persisted so the seed derivation and the
+    // iteration DAG share one DOM-parse pass (released one-shot).
+    "g9_trustrank" -> ((s, d) => {
+      val e0 = GraphOps.edges(pagesDf(s, d)).select("src", "target")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seeds = e0.select(col("src").as("node")).distinct()
+        .filter(pmod(TextOps.md5Hash60(concat(lit("seed:"), col("node"))),
+          lit(7)) === 0)
+      val out = GraphOps.trustRank(s, e0, seeds, iterations = PrIters)
+      graft.util.CacheOnce.release(e0)
+      out
+    }),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -681,6 +698,44 @@ object SparkEntry {
             FROM nodes n LEFT JOIN deg d USING (node)),
           $iters
           SELECT node, mass FROM m$PrIters"""
+    }
+    // TrustRank replay: identical integer iteration, but mass starts on
+    // the seed set only and teleport + dangling mass land only on seeds
+    val trustrankSelect = {
+      val iters = (1 to PrIters).map { i =>
+        val p = i - 1
+        s"""tin$i AS (SELECT ed.target AS node,
+               CAST(sum(m.mass * 85 // 100 // m.od) AS BIGINT) AS im
+             FROM ed JOIN t$p m ON ed.src = m.node GROUP BY 1),
+           tds$i AS (SELECT CAST(coalesce(sum(mass * 85 // 100), 0)
+               AS BIGINT) AS ds
+             FROM t$p WHERE od = 0),
+           t$i AS (SELECT m.node, m.od, m.is_seed,
+               CAST(coalesce(i.im, 0)
+                 + CASE WHEN m.is_seed = 1
+                     THEN 150000000000
+                       + (SELECT ds FROM tds$i) // (SELECT c FROM nseeds)
+                     ELSE 0 END
+               AS BIGINT) AS mass
+             FROM t$p m LEFT JOIN tin$i i USING (node))"""
+      }.mkString(",\n")
+      s"""WITH ed AS ($edgeSql),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM ed
+             UNION ALL SELECT target FROM ed)),
+          deg AS (SELECT src AS node, count(*) AS od FROM ed GROUP BY 1),
+          seeds AS (SELECT DISTINCT src AS node FROM ed
+                    WHERE CAST(('0x' || substr(md5('seed:' || src), 1, 15))
+                            AS BIGINT) % 7 = 0),
+          nseeds AS (SELECT count(*) AS c FROM seeds),
+          t0 AS (SELECT n.node, coalesce(d.od, 0) AS od,
+              CASE WHEN s.node IS NULL THEN 0 ELSE 1 END AS is_seed,
+              CAST(CASE WHEN s.node IS NULL THEN 0
+                   ELSE 1000000000000 END AS BIGINT) AS mass
+            FROM nodes n LEFT JOIN deg d USING (node)
+            LEFT JOIN seeds s USING (node)),
+          $iters
+          SELECT node, mass FROM t$PrIters"""
     }
     val hostRe = "'^[a-z]+://([^/]+)'"
     // per-host feature rollup over the PageRank replay — shared g5/g6
@@ -1335,6 +1390,7 @@ object SparkEntry {
       // float-tolerance-exact (pagerankSelect is hoisted above the Map —
       // g5/g6 embed the identical replay as a nested-WITH subquery)
       "g3_pagerank" -> pagerankSelect,
+      "g9_trustrank" -> trustrankSelect,
       "g4_host_components" ->
         // recursive reachability over the cross-host edge set — the
         // unique fixpoint the Spark-side min-label propagation reaches

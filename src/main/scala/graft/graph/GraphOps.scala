@@ -207,6 +207,75 @@ object GraphOps {
           expr(s"ds div ${n}L")).as("mass"))
   }
 
+  /** TrustRank (Gyöngyi/Garcia-Molina/Pedersen 2004): PageRank
+    * personalized to a trusted seed set — trust flows OUT of the seeds
+    * along links, so spam farms that rank well under uniform teleport
+    * score near zero here; the curation signal web-scale pipelines pair
+    * with [[pagerank]] (keep high-PR, demote high-PR/low-trust). Same
+    * EXACT integer arithmetic and per-iteration plan shape as
+    * [[pagerank]]; the three personalization changes:
+    *
+    *   - iteration 0: mass = initMass on seed nodes, 0 elsewhere;
+    *   - teleport: initMass·15/100 lands ONLY on seeds (per-seed `base`,
+    *     total = 15% of the stationary total nSeeds·initMass);
+    *   - dangling mass: redistributed over the SEEDS (div nSeeds), not
+    *     all nodes.
+    *
+    * `seeds` is a 1-column (node) whitelist — in production the curated
+    * trusted-host list (10⁴–10⁶ rows: joined once, broadcast by
+    * Catalyst, and the seed flag rides the persisted mass table so
+    * iterations never re-join it). Seeds that appear in no edge
+    * contribute teleport mass but nothing flows to them — harmless.
+    * Returns (node, mass) like [[pagerank]]. */
+  def trustRank(spark: SparkSession, edges: DataFrame, seeds: DataFrame,
+                iterations: Int = 3,
+                initMass: Long = DefaultInitMass): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges.select(col("src"), col("target"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize before the narrow cache branches (see pagerank)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("od"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("target").as("node")))
+      .distinct()
+    val seedSet = seeds.select(col("node")).distinct()
+      .withColumn("is_seed", lit(1))
+    var cur = nodes.join(deg, Seq("node"), "left")
+      .join(seedSet, Seq("node"), "left")
+      .select(col("node"), coalesce(col("od"), lit(0L)).as("od"),
+        coalesce(col("is_seed"), lit(0)).as("is_seed"),
+        when(col("is_seed") === 1, lit(initMass)).otherwise(lit(0L)).as("mass"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = cur.agg(sum(col("is_seed"))).head.getLong(0)
+    require(nSeeds > 0, "trustRank needs at least one seed present in the graph")
+    val base = initMass * 15L / 100L
+    var it = 0
+    while (it < iterations) {
+      val contrib = e.join(cur.hint("shuffle_hash"), e("src") === cur("node"))
+        .select(col("target").as("node"),
+          expr("mass * 85 div 100 div od").as("c"))
+        .groupBy("node").agg(sum(col("c")).as("in_mass"))
+      val dangling = cur.filter(col("od") === 0L)
+        .agg(coalesce(sum(expr("mass * 85 div 100")), lit(0L)).as("ds"))
+      val next = cur.select("node", "od", "is_seed")
+        .join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"), col("od"), col("is_seed"),
+          (coalesce(col("in_mass"), lit(0L)) +
+            when(col("is_seed") === 1,
+              lit(base) + expr(s"ds div ${nSeeds}L")).otherwise(lit(0L)))
+            .as("mass"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the input it reads
+      cur.unpersist()
+      cur = next
+      it += 1
+    }
+    e.unpersist()
+    graft.util.CacheOnce.release(cur).select("node", "mass")
+  }
+
   /** Host-level link-quality features — the curation feature table a
     * web-text pipeline joins into tier assignment (domain-level signals,
     * the granularity real curation stacks filter at: individual corpus

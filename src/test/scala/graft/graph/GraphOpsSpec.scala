@@ -94,6 +94,81 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(drained(), "pagerank must self-release its persisted iteration tables")
   }
 
+  /** Plain-Scala replay of GraphOps.trustRank: mass starts on seeds,
+    * teleport base and floor-shared dangling mass land only on seeds. */
+  private def refTrustRank(edges: Seq[(String, String)], seeds: Set[String],
+                           iters: Int,
+                           init: Long = GraphOps.DefaultInitMass): Map[String, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val od = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val live = seeds.filter(nodes.contains)
+    val nSeeds = live.size.toLong
+    val base = init * 15L / 100L
+    var mass = nodes.map(u => u -> (if (live(u)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val outM = mass.view.mapValues(m => m * 85L / 100L).toMap
+      val in = edges.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => outM(u) / od(u) }.sum).toMap
+      val ds = nodes.iterator.filter(u => !od.contains(u)).map(outM).sum
+      mass = nodes.map(u => u -> (in.getOrElse(u, 0L) +
+        (if (live(u)) base + ds / nSeeds else 0L))).toMap
+    }
+    mass
+  }
+
+  // trusted cycle a->b->c->a, a spam island x<->y unreachable from the
+  // seed, a dangling node d fed from the trusted side
+  private val tg = Seq(
+    ("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("x", "y"), ("y", "x"))
+
+  private def seedDf(names: String*) = {
+    val s = spark
+    import s.implicits._
+    names.toDF("node")
+  }
+
+  test("trustRank matches the plain-Scala reference; spam island scores zero") {
+    val got = GraphOps.trustRank(spark, edgeDf(tg), seedDf("a"), iterations = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == refTrustRank(tg, Set("a"), iters = 2))
+    assert(got("x") == 0L && got("y") == 0L,
+      "nodes unreachable from the seed set must hold zero trust")
+    assert(got("a") > 0L && got("b") > 0L && got("c") > 0L && got("d") > 0L,
+      "trust must flow along links from the seed")
+  }
+
+  test("trustRank is bit-identical under different partitioning; absent seeds ignored") {
+    // "z" appears in no edge: it contributes no teleport (nSeeds counts
+    // only seeds present in the graph) and no output row
+    val a = GraphOps.trustRank(spark, edgeDf(tg).repartition(7),
+        seedDf("a", "z"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = GraphOps.trustRank(spark, edgeDf(tg).repartition(1),
+        seedDf("a", "z"), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+    assert(a == refTrustRank(tg, Set("a"), iters = 3))
+    assert(!a.contains("z"))
+  }
+
+  test("trustRank refuses an empty effective seed set") {
+    intercept[IllegalArgumentException] {
+      GraphOps.trustRank(spark, edgeDf(tg), seedDf("nope"), iterations = 1)
+    }
+  }
+
+  test("trustRank releases every persisted intermediate after the consuming action") {
+    spark.catalog.clearCache()
+    def drained(): Boolean =
+      spark.sparkContext.getPersistentRDDs.isEmpty &&
+        spark.sharedState.cacheManager.isEmpty
+    assert(GraphOps.trustRank(spark, edgeDf(tg), seedDf("a"),
+      iterations = 2).count() > 0)
+    val deadline = System.currentTimeMillis() + 30000
+    while (!drained() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+    assert(drained(), "trustRank must self-release its persisted iteration tables")
+  }
+
   test("hostGraph aggregates narrow host pairs with distinct counts") {
     val s = spark
     import s.implicits._
