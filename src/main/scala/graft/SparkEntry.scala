@@ -591,6 +591,7 @@ object SparkEntry {
     // neighbor's PQ reconstruction inside IVF cells — codebook training,
     // codes, reconstructions, adots and ranks all replayed by the oracle.
     "e12_pq_knn" -> ((s, d) => Ann.pqKnn(emb(s, d), k = 5)),
+    "e13_pq_rerank" -> ((s, d) => Ann.pqRerankKnn(emb(s, d), k = 5)),
 
     // ---- deterministic integer-exact k-means (Lloyd, 2 fixed rounds)
     // over the SQ code space — cluster-balanced sampling / SemDeDup's
@@ -880,6 +881,72 @@ object SparkEntry {
                             row_number() OVER (PARTITION BY vec_id
                               ORDER BY list_cosine_similarity(e, c) DESC, cell ASC) AS rn
                      FROM v CROSS JOIN cent)"""
+    // IVF-PQ/ADC replay (e12, and e13's shortlist stage): e8's
+    // quantization CTEs, the code vector cut into 8 subspaces,
+    // per-subspace integer-exact Lloyd (md5 "pq:" stride seeds,
+    // floor-mean update, empty cells keep previous centroid), codes from
+    // the post-update assignment, neighbor reconstruction = concatenated
+    // centroids, and the asymmetric integer dot (true query codes x
+    // reconstruction) ranked desc with id-asc ties inside the shared IVF
+    // cells. `topk` parameterizes the rank cut (5 = e12's answer; 20 =
+    // e13's shortlist).
+    def pqAdcSql(topk: Int) = {
+      def pqAssignSql(i: Int) =
+        s"""pd$i AS (SELECT l.vec_id, l.sub, c.cluster,
+              CAST(list_sum([(l.sv[j] - c.cv[j]) * (l.sv[j] - c.cv[j])
+                for j in generate_series(1, len(l.sv))]) AS BIGINT) AS dist
+            FROM sv2 l JOIN pc$i c ON l.sub = c.sub),
+            pa$i AS (SELECT vec_id, sub, cluster FROM (
+              SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+                ORDER BY dist ASC, cluster ASC) AS rn FROM pd$i)
+            WHERE rn = 1)"""
+      s"""WITH ${ivfAssignSql(4)},
+          ex AS (SELECT vec_id, unnest(range(len(e))) AS j, unnest(e) AS x FROM v),
+          rng AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
+          q AS (SELECT vec_id, j,
+                  CASE WHEN mx = mn THEN 0
+                       ELSE CAST(floor((x - mn) * 127.0 / (mx - mn)) AS BIGINT)
+                  END AS q
+                FROM ex JOIN rng USING (j)),
+          ql AS (SELECT vec_id, list(q ORDER BY j) AS qv FROM q GROUP BY vec_id),
+          svx AS (SELECT vec_id, unnest(generate_series(0, 7)) AS sub, qv FROM ql),
+          sv2 AS (SELECT vec_id, sub,
+                    qv[sub * (len(qv) // 8) + 1 : (sub + 1) * (len(qv) // 8)] AS sv
+                  FROM svx),
+          spar AS (SELECT greatest(1, count(*) // 16) AS stride FROM ql),
+          pc0 AS (SELECT sub, vec_id AS cluster, sv AS cv FROM sv2, spar
+                  WHERE ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} % stride = 0),
+          ${pqAssignSql(0)},
+          pu1 AS (SELECT a.sub, a.cluster, t.j,
+                    CAST(sum(t.x) // count(*) AS BIGINT) AS cq
+                  FROM pa0 a JOIN (SELECT vec_id, sub, unnest(range(len(sv))) AS j,
+                                     unnest(sv) AS x FROM sv2) t
+                    ON t.vec_id = a.vec_id AND t.sub = a.sub
+                  GROUP BY 1, 2, 3),
+          pul1 AS (SELECT sub, cluster, list(cq ORDER BY j) AS cv
+                   FROM pu1 GROUP BY 1, 2),
+          pc1 AS (SELECT p.sub, p.cluster, coalesce(n.cv, p.cv) AS cv
+                  FROM pc0 p LEFT JOIN pul1 n USING (sub, cluster)),
+          ${pqAssignSql(1)},
+          recon AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
+                    FROM pa1 a JOIN pc1 c USING (sub, cluster)
+                    GROUP BY a.vec_id),
+          probes AS (SELECT vec_id, cell FROM assign WHERE rn <= 4),
+          home AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
+          pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
+                    FROM probes l JOIN home r
+                      ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+          adots AS (SELECT p.a, p.b,
+                      CAST(list_sum([qa.qv[j] * rb.rv[j]
+                        for j in generate_series(1, len(qa.qv))]) AS BIGINT) AS adot
+                    FROM pairs p JOIN ql qa ON qa.vec_id = p.a
+                    JOIN recon rb ON rb.vec_id = p.b)
+          SELECT vec_id, neighbor_id, rank, adot FROM (
+            SELECT a AS vec_id, b AS neighbor_id, adot,
+              row_number() OVER (PARTITION BY a
+                ORDER BY adot DESC, b ASC) AS rank FROM adots)
+          WHERE rank <= $topk"""
+    }
 
     val all = Map(
       "x1_extract_text" -> s"SELECT url, text FROM $pages",
@@ -1874,70 +1941,22 @@ object SparkEntry {
                  row_number() OVER (PARTITION BY a
                    ORDER BY dot DESC, b ASC) AS rank FROM dots)
              WHERE rank <= 5"""),
-      "e12_pq_knn" -> {
-        // IVF-PQ/ADC replay: e8's quantization CTEs, the code vector cut
-        // into 8 subspaces, per-subspace integer-exact Lloyd (md5 "pq:"
-        // stride seeds, floor-mean update, empty cells keep previous
-        // centroid), codes from the post-update assignment, neighbor
-        // reconstruction = concatenated centroids, and the asymmetric
-        // integer dot (true query codes x reconstruction) ranked desc
-        // with id-asc ties inside the shared IVF cells.
-        def pqAssignSql(i: Int) =
-          s"""pd$i AS (SELECT l.vec_id, l.sub, c.cluster,
-                CAST(list_sum([(l.sv[j] - c.cv[j]) * (l.sv[j] - c.cv[j])
-                  for j in generate_series(1, len(l.sv))]) AS BIGINT) AS dist
-              FROM sv2 l JOIN pc$i c ON l.sub = c.sub),
-              pa$i AS (SELECT vec_id, sub, cluster FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id, sub
-                  ORDER BY dist ASC, cluster ASC) AS rn FROM pd$i)
-              WHERE rn = 1)"""
-        s"""WITH ${ivfAssignSql(4)},
-            ex AS (SELECT vec_id, unnest(range(len(e))) AS j, unnest(e) AS x FROM v),
-            rng AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex GROUP BY j),
-            q AS (SELECT vec_id, j,
-                    CASE WHEN mx = mn THEN 0
-                         ELSE CAST(floor((x - mn) * 127.0 / (mx - mn)) AS BIGINT)
-                    END AS q
-                  FROM ex JOIN rng USING (j)),
-            ql AS (SELECT vec_id, list(q ORDER BY j) AS qv FROM q GROUP BY vec_id),
-            svx AS (SELECT vec_id, unnest(generate_series(0, 7)) AS sub, qv FROM ql),
-            sv2 AS (SELECT vec_id, sub,
-                      qv[sub * (len(qv) // 8) + 1 : (sub + 1) * (len(qv) // 8)] AS sv
-                    FROM svx),
-            spar AS (SELECT greatest(1, count(*) // 16) AS stride FROM ql),
-            pc0 AS (SELECT sub, vec_id AS cluster, sv AS cv FROM sv2, spar
-                    WHERE ${h60("'pq:' || CAST(vec_id AS VARCHAR)")} % stride = 0),
-            ${pqAssignSql(0)},
-            pu1 AS (SELECT a.sub, a.cluster, t.j,
-                      CAST(sum(t.x) // count(*) AS BIGINT) AS cq
-                    FROM pa0 a JOIN (SELECT vec_id, sub, unnest(range(len(sv))) AS j,
-                                       unnest(sv) AS x FROM sv2) t
-                      ON t.vec_id = a.vec_id AND t.sub = a.sub
-                    GROUP BY 1, 2, 3),
-            pul1 AS (SELECT sub, cluster, list(cq ORDER BY j) AS cv
-                     FROM pu1 GROUP BY 1, 2),
-            pc1 AS (SELECT p.sub, p.cluster, coalesce(n.cv, p.cv) AS cv
-                    FROM pc0 p LEFT JOIN pul1 n USING (sub, cluster)),
-            ${pqAssignSql(1)},
-            recon AS (SELECT a.vec_id, flatten(list(c.cv ORDER BY a.sub)) AS rv
-                      FROM pa1 a JOIN pc1 c USING (sub, cluster)
-                      GROUP BY a.vec_id),
-            probes AS (SELECT vec_id, cell FROM assign WHERE rn <= 4),
-            home AS (SELECT vec_id, cell FROM assign WHERE rn = 1),
-            pairs AS (SELECT l.vec_id AS a, r.vec_id AS b
-                      FROM probes l JOIN home r
-                        ON l.cell = r.cell AND l.vec_id <> r.vec_id),
-            adots AS (SELECT p.a, p.b,
-                        CAST(list_sum([qa.qv[j] * rb.rv[j]
-                          for j in generate_series(1, len(qa.qv))]) AS BIGINT) AS adot
-                      FROM pairs p JOIN ql qa ON qa.vec_id = p.a
-                      JOIN recon rb ON rb.vec_id = p.b)
-            SELECT vec_id, neighbor_id, rank, adot FROM (
-              SELECT a AS vec_id, b AS neighbor_id, adot,
-                row_number() OVER (PARTITION BY a
-                  ORDER BY adot DESC, b ASC) AS rank FROM adots)
-            WHERE rank <= 5"""
-      },
+      "e12_pq_knn" -> pqAdcSql(5),
+      // two-stage retrieval: the SAME PQ/ADC chain as e12 widened to a
+      // 20-candidate shortlist (nested WITH, the g6 idiom), then an exact
+      // float-cosine re-rank of only those candidates to top-5
+      "e13_pq_rerank" ->
+        (s"""WITH cand AS (${pqAdcSql(20)}),
+             v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings)
+             SELECT vec_id, neighbor_id, rank FROM (
+               SELECT c.vec_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY list_cosine_similarity(va.e, vb.e) DESC,
+                            c.neighbor_id ASC) AS rank
+               FROM cand c
+               JOIN v va ON va.vec_id = c.vec_id
+               JOIN v vb ON vb.vec_id = c.neighbor_id)
+             WHERE rank <= 5"""),
       "e7_knn_ivf_hier" ->
         // two-level IVF replay: md5-stride coarse seeds ("c:"), each
         // vector's 2 nearest coarse cells, md5-stride fine seeds ("f:")

@@ -510,6 +510,35 @@ object Ann {
         col("rank"), col("adot"))
   }
 
+  /** Two-stage retrieval (the production ANN deployment shape): a cheap
+    * PQ-ADC shortlist of `shortlist` candidates per query from the
+    * compressed index ([[pqKnn]]), then an EXACT float-cosine re-rank of
+    * only those candidates down to top-k — compressed-domain recall at
+    * full-precision ranking quality, paying exact dot products on
+    * `shortlist` rows per query instead of the whole probed cell.
+    * Classic IVFADC + re-rank (Jégou et al.).
+    *
+    * Scale shape: stage 2 is two narrow hash joins (candidate ids back to
+    * their float vectors) + the WindowGroupLimit top-k — candidate volume
+    * is n·shortlist rows, independent of cell sizes. Rank/tie semantics
+    * match [[cosineKnn]] (sim desc, id asc). */
+  def pqRerankKnn(emb: DataFrame, k: Int, shortlist: Int = 20,
+                  subspaces: Int = 8, ksub: Int = 16, iters: Int = 1,
+                  cells: Int = 0, nprobe: Int = 4): DataFrame = {
+    val cand = pqKnn(emb, shortlist, subspaces, ksub, iters, cells, nprobe)
+      .select(col("vec_id").as("a"), col("neighbor_id").as("b"))
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val va = v.select(col("vec_id").as("a"), col("e").as("ea"), col("norm").as("na"))
+    val vb = v.select(col("vec_id").as("b"), col("e").as("eb"), col("norm").as("nb"))
+    val w = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
+    cand.join(va, "a").join(vb, "b")
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("rank"))
+  }
+
   /** Cluster-balanced subsample — the diversity-sampling stage that turns
     * [[kmeansAssign]] into a curation operator (SemDeDup/DoReMi-style:
     * cap each semantic cluster at `m` members so no dense region

@@ -344,6 +344,65 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
       "integer-exact PQ training + ADC ranking must not depend on partitioning")
   }
 
+  test("PQ re-rank: exact-cosine stage lifts recall@5 over raw ADC ranks") {
+    // The property two-stage retrieval exists for: re-ranking the PQ
+    // shortlist with true float cosine must recover neighbours the
+    // compressed ADC ordering misranked. Like the other recall-floor
+    // specs, run on clustered data (the 100 TB case an index exists
+    // for) — the sf fixture is near-uniform, where ANY cell-probing
+    // index has recall ~ coverage and a floor would test the fixture,
+    // not the operator. Compare both against brute-force top-5.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(7)
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val emb = (0L until 500L).map { id =>
+      val c = centers((id % 20).toInt)
+      (id, c.map(x => (x + 0.08 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.cosineKnn(emb, k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    val raw = recall(Ann.pqKnn(emb, k = 5))
+    val rr = recall(Ann.pqRerankKnn(emb, k = 5, shortlist = 20))
+    info(f"recall@5: pq-adc $raw%.3f -> rerank $rr%.3f")
+    assert(rr >= raw, f"re-rank must not lose recall: $rr%.3f < $raw%.3f")
+    assert(rr >= 0.75, f"re-ranked recall@5 $rr%.3f below floor")
+    spark.catalog.clearCache()
+  }
+
+  test("pqRerankKnn: k rows per query, dense ranks, candidates from the shortlist") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val shortlist = Ann.pqKnn(emb, k = 20).select("vec_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Ann.pqRerankKnn(emb, k = 5, shortlist = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val perQuery = got.groupBy(_._1)
+    assert(perQuery.values.forall(_.map(_._3).sorted.toSeq == (1 to 5)),
+      "each query carries dense ranks 1..k")
+    assert(got.forall { case (a, b, _) => shortlist.contains((a, b)) },
+      "every re-ranked neighbour came from the PQ shortlist")
+    spark.catalog.clearCache()
+  }
+
+  test("pqRerankKnn is bit-identical under repartitioning") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(parts: Int): Seq[(Long, Long, Int)] =
+      Ann.pqRerankKnn(emb.repartition(parts), k = 3, shortlist = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val a = run(7); val b = run(3)
+    spark.catalog.clearCache()
+    assert(a == b,
+      "integer-exact shortlist + float re-rank must not depend on partitioning")
+  }
+
   test("near-duplicate pairs are symmetric-free and above threshold") {
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val pairs = Ann.cosineDupPairs(emb, threshold = 0.95).collect()
