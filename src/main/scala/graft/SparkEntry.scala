@@ -310,6 +310,15 @@ object SparkEntry {
       TextOps.lmScore(dd, dd)
     }),
 
+    // DSIR-style domain matching: hashed-ngram importance weights of the
+    // whole corpus against a curated seed sample (three sources stand in
+    // for the "wiki+books" target), integer-exact bucket rate ratios
+    "t32_importance" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.importanceWeights(
+        dd.filter(col("source").isin("src1", "src2", "src3")), dd)
+    }),
+
     "s1_script" -> ((s, d) => ScriptId.predict(docs(s, d))),
 
     // ---- per-host rollup over the pages table (the crawl-side shape of
@@ -1727,6 +1736,34 @@ object SparkEntry {
                CAST(sum(occ * bp) AS BIGINT) AS sum_bp,
                CAST(sum(occ * bp) // sum(occ) AS BIGINT) AS avg_bp
              FROM docc JOIN model USING (g) GROUP BY 1"""),
+      // DSIR importance weights: unigram+bigram features hashed into 4096
+      // md5-60 buckets, add-one-smoothed ppm rates on both corpora, the
+      // per-bucket target/raw rate ratio in basis points, occurrence-
+      // weighted per document — floor divisions replay bit-identically
+      "t32_importance" ->
+        (s"""WITH w AS (SELECT doc_id, $tok AS w FROM documents),
+             f AS (SELECT doc_id,
+                     unnest(w || [w[i] || ' ' || w[i+1]
+                                  for i in generate_series(1, length(w) - 1)])
+                       AS f
+                   FROM w),
+             fb AS (SELECT doc_id, ${h60("f")} % 4096 AS fb FROM f),
+             docc AS (SELECT doc_id, fb, count(*) AS occ FROM fb GROUP BY 1, 2),
+             cq AS (SELECT fb, sum(occ) AS cq FROM docc GROUP BY 1),
+             nq AS (SELECT sum(cq) AS nq FROM cq),
+             cp AS (SELECT fb.fb, count(*) AS cp FROM fb
+                    JOIN documents d USING (doc_id)
+                    WHERE d.source IN ('src1', 'src2', 'src3') GROUP BY 1),
+             np AS (SELECT sum(cp) AS np FROM cp),
+             rates AS (SELECT cq.fb,
+                         (10000 * ((1000000 * (coalesce(cp, 0) + 1)) // (np + 4096)))
+                           // greatest((1000000 * (cq + 1)) // (nq + 4096), 1) AS bp
+                       FROM cq LEFT JOIN cp USING (fb)
+                       CROSS JOIN np CROSS JOIN nq)
+             SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_feats,
+               CAST(sum(occ * bp) AS BIGINT) AS sum_bp,
+               CAST(sum(occ * bp) // sum(occ) AS BIGINT) AS avg_bp
+             FROM docc JOIN rates USING (fb) GROUP BY 1"""),
       // sliding-window chunking (capacity 64, stride 48): chunk k covers
       // tokens [k*48, min(k*48+64, n)); K = 1 + ceil(max(n-64,0)/48)
       "t28_chunks" ->

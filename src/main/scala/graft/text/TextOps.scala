@@ -1077,4 +1077,72 @@ object TextOps {
           slice(col("toks"), col("tok_start") + 1,
             col("tok_end") - col("tok_start")), " ").as("chunk_text"))
   }
+
+  /** DSIR-style hashed n-gram importance weights (Xie et al. 2023, "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every `raw`-corpus document by how target-like its hashed feature
+    * distribution is relative to a curated `target` sample — THE
+    * domain-matching curation op (select web text that looks like
+    * Wikipedia/books) between the per-document quality scores
+    * ([[lmScore]], tier rules) and the dedup family.
+    *
+    * Features are unigrams + bigrams hashed into `buckets` 60-bit-md5
+    * buckets (the shared cross-engine hash convention). Per bucket, both
+    * corpora get an add-one-smoothed fixed-point rate
+    * `p = (10^6·(c+1)) div (N+B)` and the bucket's importance is the
+    * rate ratio in basis points `bp = (10^4·p_target) div max(p_raw,1)`
+    * (≈10^4 for distribution-neutral buckets, higher for
+    * target-enriched ones). A document's weight is the
+    * occurrence-weighted sum over its features. Integer floor-divisions
+    * only, so the DuckDB oracle replays bit-identically — the same
+    * log→ratio basis change [[lmScore]] makes for perplexity: each
+    * bucket's bp is monotone in DSIR's per-feature log-likelihood
+    * ratio; documents dominated by target-enriched features rank high.
+    *
+    * Scale shape: the raw side is ONE explode → codegen'd md5/mod
+    * projection → (doc, bucket) partial-aggregated groupBy (map-side
+    * combine bounds a hot bucket to one row per task); the bucket rate
+    * table derives from it by a second narrow groupBy over ≤`buckets`
+    * rows, so the document text never shuffles and the corpus is read
+    * once (CacheOnce keeps the narrow three-long projection at one
+    * build). The target side (a curated seed sample — small by
+    * construction in DSIR) aggregates to ≤`buckets` rows and broadcasts
+    * into the rate join, as do the two one-row totals. Fixed-point
+    * envelope: exact while per-bucket counts stay under 2^63/10^6 ≈
+    * 9·10^12 occurrences — at larger corpora raise `buckets`, which the
+    * hashed-feature resolution wants anyway. */
+  def importanceWeights(target: DataFrame, raw: DataFrame,
+                        buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2, s"need buckets >= 2, got $buckets")
+    val b = buckets.toLong
+    // unigram + bigram stream, hashed to bucket ids
+    def feats(d: DataFrame): DataFrame = {
+      val w = tokens(col("text"))
+      d.select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"),
+          explode(concat(col("w"), zip_with(
+            slice(col("w"), lit(1), size(col("w")) - 1),
+            slice(col("w"), lit(2), size(col("w")) - 1),
+            (a, x) => concat(a, lit(" "), x)))).as("f"))
+        .select(col("doc_id"), (md5Hash60(col("f")) % b).as("fb"))
+    }
+    val docc = graft.util.CacheOnce(
+      feats(raw).groupBy("doc_id", "fb").agg(count(lit(1)).as("occ")))
+    val cq = docc.groupBy("fb").agg(sum("occ").as("cq"))
+    val nq = cq.agg(sum(col("cq")).as("nq"))
+    val cp = feats(target).groupBy("fb").agg(count(lit(1)).as("cp"))
+    val np = cp.agg(sum(col("cp")).as("np"))
+    val rates = cq
+      .join(broadcast(cp), Seq("fb"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      .select(col("fb"), expr(
+        s"""(10000L * ((1000000L * (coalesce(cp, 0L) + 1)) div (np + $b)))
+            div greatest((1000000L * (cq + 1)) div (nq + $b), 1L)""").as("bp"))
+    docc.join(broadcast(rates), "fb")
+      .groupBy("doc_id")
+      .agg(sum(col("occ")).as("n_feats"),
+        sum(col("occ") * col("bp")).as("sum_bp"))
+      .select(col("doc_id"), col("n_feats"), col("sum_bp"),
+        expr("sum_bp div n_feats").as("avg_bp"))
+  }
 }

@@ -724,4 +724,39 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(chunksOf("a b c d", capacity = 4, stride = 2) ==
       Seq((0, 0, 4, "a b c d")))
   }
+
+  test("importance weights: target-vocabulary docs outrank off-domain docs") {
+    // target speaks {alpha beta gamma}; raw adds an off-domain pool
+    // {zzz yyy xxx}. DSIR semantics: raw docs written in the target
+    // vocabulary must carry strictly higher avg_bp than off-domain ones,
+    // and target-enriched features push weights above the ~10000 bp
+    // distribution-neutral level.
+    val target = docs(
+      100L -> "alpha beta gamma alpha",
+      101L -> "beta gamma alpha beta")
+    val raw = docs(
+      1L -> "alpha beta gamma",
+      2L -> "zzz yyy xxx zzz",
+      3L -> "alpha beta zzz")
+    val r = TextOps.importanceWeights(target, raw, buckets = 64).collect()
+      .map(x => x.getLong(0) -> x.getLong(3)).toMap
+    assert(r.keySet == Set(1L, 2L, 3L))
+    assert(r(1L) > r(3L) && r(3L) > r(2L),
+      s"expected in-domain > mixed > off-domain, got $r")
+    assert(r(1L) > 10000L, s"pure target vocabulary below neutral: ${r(1L)}")
+  }
+
+  test("importance weights: feature count = 2n-1 per doc, bit-identical under repartitioning") {
+    val target = docs(100L -> "alpha beta")
+    val raw = docs(1L -> "alpha beta gamma", 2L -> "zzz", 3L -> "a b c d")
+    def run(parts: Int) =
+      TextOps.importanceWeights(target, raw.repartition(parts), buckets = 64)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+          x.getLong(3))).sortBy(_._1).toSeq
+    val a = run(5)
+    // unigrams + bigrams: 3 tokens -> 5 features, 1 -> 1, 4 -> 7
+    assert(a.map(t => t._1 -> t._2).toMap ==
+      Map(1L -> 5L, 2L -> 1L, 3L -> 7L))
+    assert(a == run(2), "integer-exact weights must not depend on partitioning")
+  }
 }
