@@ -220,6 +220,32 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // two-stage retrieval (round 4): e12's ADC chain at shortlist 20 +
+    // exact-cosine re-rank; outside the frozen headline total
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (_, sec) = time {
+        graft.sim.Ann.pqRerankKnn(emb, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "e13_pq_rerank" -> f"$sec%.3f"
+      spark.catalog.clearCache()
+    }
+
+    // DSIR importance weights (round 4): one corpus feature pass +
+    // broadcast rate join; outside the frozen headline total
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val (_, sec) = time {
+        graft.text.TextOps.importanceWeights(
+          docs.filter(org.apache.spark.sql.functions.col("source")
+            .isin("src1", "src2", "src3")), docs)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "t32_importance" -> f"$sec%.3f"
+      spark.catalog.clearCache()
+    }
+
     // web-graph family (round 4): the zero-exchange edge projection +
     // host-pair aggregation, and the 3-iteration integer-exact PageRank.
     // Reported OUTSIDE the headline total — the total's composition is
