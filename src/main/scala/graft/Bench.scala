@@ -232,6 +232,29 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // persisted IVF (round 4): build-once / query-many split — the index
+    // build (one corpus pass + cell-partitioned rewrite) and a small
+    // 64-query batch against it (dynamic-partition-pruned scan). Outside
+    // the frozen headline total; the QUERY figure is the serving-path
+    // number (reads nprobe/cells of the corpus, not the corpus).
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_bench_e14").toString
+      val (_, buildSec) = time {
+        graft.sim.AnnIndex.build(spark, emb, graft.io.ParquetTableIO, root)
+      }
+      extras += "e14_index_build" -> f"$buildSec%.3f"
+      val batch = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 64)
+      val (_, querySec) = time {
+        graft.sim.AnnIndex.query(spark, graft.io.ParquetTableIO, root, batch, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "e14_index_query64" -> f"$querySec%.3f"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      spark.catalog.clearCache()
+    }
+
     // DSIR importance weights (round 4): one corpus feature pass +
     // broadcast rate join; outside the frozen headline total
     locally {

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.extract.Extractor
 import graft.graph.GraphOps
 import graft.pages.PagesTable
-import graft.sim.Ann
+import graft.sim.{Ann, AnnIndex}
 import graft.text.{LangId, ScriptId, TextOps}
 
 /** Driver contract — one `queries` entry per implemented operator family
@@ -602,6 +602,17 @@ object SparkEntry {
     "e12_pq_knn" -> ((s, d) => Ann.pqKnn(emb(s, d), k = 5)),
     "e13_pq_rerank" -> ((s, d) => Ann.pqRerankKnn(emb(s, d), k = 5)),
 
+    // build-once/query-many persisted IVF (AnnIndex): index built into a
+    // scratch root through the TableIO seam, then self-queried — bit-
+    // identical to the inline e2 plan, so it shares e2's oracle replay
+    "e14_persisted_ivf" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_e14_" + new java.io.File(d).getName).toString
+      val e = emb(s, d)
+      AnnIndex.build(s, e, graft.io.ParquetTableIO, root)
+      AnnIndex.query(s, graft.io.ParquetTableIO, root, e, k = 5)
+    }),
+
     // ---- deterministic integer-exact k-means (Lloyd, 2 fixed rounds)
     // over the SQ code space — cluster-balanced sampling / SemDeDup's
     // clustering stage; broadcast centroids + map-side-combinable argmin
@@ -956,6 +967,19 @@ object SparkEntry {
                 ORDER BY adot DESC, b ASC) AS rank FROM adots)
           WHERE rank <= $topk"""
     }
+
+    val ivfKnnSql =
+      s"""WITH ${ivfAssignSql(4)},
+          probes AS (SELECT * FROM assign WHERE rn <= 4),
+          home AS (SELECT * FROM assign WHERE rn = 1),
+          sims AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                          list_cosine_similarity(l.e, r.e) AS sim
+                   FROM probes l JOIN home r
+                     ON l.cell = r.cell AND l.vec_id <> r.vec_id)
+          SELECT a AS vec_id, b AS neighbor_id, rank FROM (
+            SELECT a, b, row_number() OVER (PARTITION BY a
+              ORDER BY sim DESC, b ASC) AS rank FROM sims)
+          WHERE rank <= 5"""
 
     val all = Map(
       "x1_extract_text" -> s"SELECT url, text FROM $pages",
@@ -1848,18 +1872,10 @@ object SparkEntry {
               JOIN (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings) r
               ON l.vec_id <> r.vec_id)
             WHERE rank <= 5"""),
-      "e2_knn_ivf" ->
-        (s"""WITH ${ivfAssignSql(4)},
-             probes AS (SELECT * FROM assign WHERE rn <= 4),
-             home AS (SELECT * FROM assign WHERE rn = 1),
-             sims AS (SELECT l.vec_id AS a, r.vec_id AS b,
-                             list_cosine_similarity(l.e, r.e) AS sim
-                      FROM probes l JOIN home r
-                        ON l.cell = r.cell AND l.vec_id <> r.vec_id)
-             SELECT a AS vec_id, b AS neighbor_id, rank FROM (
-               SELECT a, b, row_number() OVER (PARTITION BY a
-                 ORDER BY sim DESC, b ASC) AS rank FROM sims)
-             WHERE rank <= 5"""),
+      "e2_knn_ivf" -> ivfKnnSql,
+      // the persisted index is bit-identical to the inline plan by
+      // construction (AnnIndexSpec) — same replay
+      "e14_persisted_ivf" -> ivfKnnSql,
       "e3_label_counts" ->
         "SELECT label, count(*) AS cnt, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM embeddings GROUP BY label",
       "e4_cosine_dups" ->
