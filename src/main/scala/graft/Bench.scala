@@ -255,6 +255,18 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // SemDeDup (round 4): k-means + within-cluster semantic prune;
+    // outside the frozen headline total
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (_, sec) = time {
+        graft.sim.Ann.semDedup(emb, tau = 0.42)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "e15_semdedup" -> f"$sec%.3f"
+      spark.catalog.clearCache()
+    }
+
     // DSIR importance weights (round 4): one corpus feature pass +
     // broadcast rate join; outside the frozen headline total
     locally {

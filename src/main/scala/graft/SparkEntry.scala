@@ -622,6 +622,12 @@ object SparkEntry {
     // order — the diversity cap; rank → WindowGroupLimit partial top-m
     "e11_cluster_sample" -> ((s, d) => Ann.clusterSample(emb(s, d), m = 10)),
 
+    // SemDeDup (Abbas et al.): within-k-means-cluster semantic prune —
+    // farthest-from-centroid-first rank (integer SQ dist), drop any doc
+    // with cosine > τ to an earlier-ranked cluster-mate; one
+    // within-cluster equi-join, n²/k not n²
+    "e15_semdedup" -> ((s, d) => Ann.semDedup(emb(s, d), tau = 0.42)),
+
     // near-dup pairs → transitive duplicate CLUSTERS → one keeper each:
     // the step that makes pairwise dedup actually delete (A~B, B~C must
     // collapse {A,B,C} to one doc). Distributed min-label propagation;
@@ -1956,6 +1962,23 @@ object SparkEntry {
             WHERE list_cosine_similarity(va.e, vb.e) >= 0.42"""
       },
       "e10_kmeans" -> kmeansSelect,
+      // SemDeDup replay: the shared kmeans CTE chain, farthest-first rank
+      // on the integer dist (vec_id-asc ties), removal iff cosine > 0.42
+      // to any earlier-ranked doc in the same cluster (same threshold as
+      // e4 — the |sim-0.42| > 1e-6 margin is pinned on the fixed data)
+      "e15_semdedup" ->
+        (s"""WITH $kmeansCtes,
+             rk AS (SELECT a2.vec_id, a2.cluster, v.e,
+                      row_number() OVER (PARTITION BY a2.cluster
+                        ORDER BY a2.dist DESC, a2.vec_id ASC) AS rn
+                    FROM a2 JOIN v ON v.vec_id = a2.vec_id),
+             removed AS (SELECT DISTINCT l.vec_id
+                         FROM rk l JOIN rk r
+                           ON l.cluster = r.cluster AND r.rn < l.rn
+                         WHERE list_cosine_similarity(l.e, r.e) > 0.42)
+             SELECT a2.vec_id, a2.cluster,
+                    CASE WHEN rm.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+             FROM a2 LEFT JOIN removed rm ON rm.vec_id = a2.vec_id"""),
       // seeded-hash per-cluster cap over the SAME replayed assignment
       "e11_cluster_sample" ->
         (s"""WITH $kmeansCtes,

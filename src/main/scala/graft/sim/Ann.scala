@@ -563,6 +563,55 @@ object Ann {
       .select(col("vec_id"), col("cluster"), col("rank"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication INSIDE k-means clusters — the published scale recipe
+    * for embedding-level near-dup pruning at 10⁹ docs, where the global
+    * pairwise matrix is unthinkable but the within-cluster one is
+    * n²/k and embarrassingly cluster-parallel.
+    *
+    * Faithful to the released implementation's simplification: docs in a
+    * cluster are ordered farthest-from-centroid first (the paper keeps
+    * the LOWEST-centroid-similarity representative of a duplicate
+    * group); doc i is dropped iff it has cosine similarity > `tau` to
+    * ANY doc ranked before it — no sequential kept-status chain, so the
+    * whole pass is one within-cluster self-join, deterministic on any
+    * partitioning. Ordering ties break vec_id-asc; the centroid
+    * distance is [[kmeansAssign]]'s integer-exact SQ-space `dist`, so
+    * the rank itself is integer-deterministic and the only float
+    * predicate is the pair threshold (margin pinned on the fixed data
+    * by the e4/e15 margin specs — same 0.42 default as e4).
+    *
+    * Scale shape: everything [[kmeansAssign]] does, plus one
+    * within-cluster equi-join (candidate volume Σ|c|²/2 — bounded by
+    * the cluster granularity k, never all-pairs) and a groupBy on the
+    * loser ids. The assignment is computed once ([[graft.util.CacheOnce]],
+    * self-releasing) and feeds both the rank and the verdict join.
+    * Output: (vec_id, cluster, kept 1/0) — every input doc exactly once,
+    * so the caller's prune is a `kept = 1` filter that pushes to scan. */
+  def semDedup(emb: DataFrame, tau: Double = 0.42, k: Int = 8,
+               iters: Int = 2): DataFrame = {
+    val assigned = graft.util.CacheOnce(kmeansAssign(emb, k, iters))
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("e"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("dist").desc, col("vec_id").asc)
+    val rk = assigned.join(v, "vec_id")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("norm", sqrt(dot(col("e"), col("e"))))
+    val l = rk.select(col("cluster"), col("vec_id"), col("rn"),
+      col("e").as("ea"), col("norm").as("na"))
+    val r = rk.select(col("cluster").as("clr"), col("rn").as("rnr"),
+      col("e").as("eb"), col("norm").as("nb"))
+    val removed = l
+      .join(r, col("cluster") === col("clr") && col("rnr") < col("rn"))
+      .withColumn("sim", dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("sim") > tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("rm", lit(1))
+    assigned.join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("rm").isNull, lit(1)).otherwise(lit(0)).as("kept"))
+  }
+
   /** Embedding-cosine near-duplicate pairs above a similarity threshold,
     * via the IVF home cells (each surviving pair scored once, a < b). */
   def cosineDupPairs(emb: DataFrame, threshold: Double, cells: Int = 0): DataFrame = {
