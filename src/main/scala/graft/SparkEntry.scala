@@ -496,6 +496,13 @@ object SparkEntry {
       graft.web.Recrawl.latestSnapshot(snaps)
     }),
 
+    // ---- DOM-structural template fingerprinting: per-(host, opening-tag
+    // -sequence md5) render-template clusters — the template-level
+    // boilerplate/dedup prior. One pruned scan, codegen'd projection
+    // (no explode), map-side-combinable count, one narrow join back. ----
+    "x20_templates" -> ((s, d) =>
+      graft.web.Templates.templateClusters(pagesDf(s, d))),
+
     // ---- web-graph family (GraphOps over the outlink edge list) ---------
     // host-level link graph: narrow host-pair keys, two-phase distincts
     "g1_host_graph" -> ((s, d) => GraphOps.hostGraph(GraphOps.edges(pagesDf(s, d)))),
@@ -1442,6 +1449,19 @@ object SparkEntry {
              FROM agg a JOIN c2 s
                ON s.canon = a.canon AND s.ts_epoch = a.latest_epoch
              GROUP BY 1, 2, 3"""),
+      // template fingerprint replay: DuckDB's regexp_extract_all keeps
+      // document order like Spark's, and the pattern is RE2-safe, so the
+      // md5 of the comma-joined opening-tag names matches byte-for-byte
+      "x20_templates" ->
+        (s"""WITH fp AS (
+               SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+                 md5(array_to_string(regexp_extract_all(decode(html),
+                   '<([a-z][a-z0-9]*)[^>]*>', 1), ',')) AS tpl
+               FROM $pages)
+             SELECT f.url, f.host, f.tpl, s.tpl_pages
+             FROM fp f JOIN (SELECT host, tpl, count(*) AS tpl_pages
+                             FROM fp GROUP BY 1, 2) s
+               USING (host, tpl)"""),
       "x16_url_canon" ->
         (s"""WITH d AS (
                SELECT url,
