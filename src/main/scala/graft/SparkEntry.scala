@@ -310,6 +310,15 @@ object SparkEntry {
       TextOps.lmScore(dd, dd)
     }),
 
+    // CCNet-style per-language perplexity terciles: head/middle/tail by
+    // LM score within each predicted language — the cuts come from the
+    // (lang, avg_bp) value histogram (≤ nLangs·10,001 rows), never a
+    // document-level sort
+    "t33_ccnet_buckets" -> ((s, d) => {
+      val dd = docs(s, d)
+      TextOps.ccnetBuckets(TextOps.lmScore(dd, dd), LangId.predict(dd))
+    }),
+
     // DSIR-style domain matching: hashed-ngram importance weights of the
     // whole corpus against a curated seed sample (three sources stand in
     // for the "wiki+books" target), integer-exact bucket rate ratios
@@ -994,6 +1003,43 @@ object SparkEntry {
               ORDER BY sim DESC, b ASC) AS rank FROM sims)
           WHERE rank <= 5"""
 
+    // shared bigram-LM CTE chain (t29 final select; t33 reuses the chain
+    // and keeps only avg_bp before bucketing)
+    val lmScoreCtes =
+      s"""w AS (SELECT doc_id, $tok AS w FROM documents),
+          bg AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
+                   SELECT doc_id,
+                     unnest([{'p': w[i], 'g': w[i] || ' ' || w[i+1]}
+                             for i in generate_series(1, length(w) - 1)])
+                       AS u
+                   FROM w WHERE length(w) >= 2) q),
+          c2 AS (SELECT g, p, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          c1 AS (SELECT p, count(*) AS c1 FROM bg GROUP BY 1),
+          model AS (SELECT g, (10000 * c2.c2) // c1.c1 AS bp
+                    FROM c2 JOIN c1 USING (p)),
+          docc AS (SELECT doc_id, g, count(*) AS occ FROM bg GROUP BY 1, 2)"""
+    // language-ID as a nested subquery (t9's CASE chain without CTE
+    // names, so composers can alias it into any WITH block)
+    val langIdSubquery = {
+      val stops = graft.text.LangId.profiles.map { case (lang, ws) =>
+        lang -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
+      }
+      val scoreCols = stops.map { case (lang, lst) =>
+        s"length(list_intersect(w, $lst)) AS s_$lang"
+      }.mkString(", ")
+      val caseArms = graft.text.LangId.profiles.dropRight(1)
+        .map { case (lang, _) => s"WHEN s_$lang = m THEN '$lang'" }
+        .mkString(" ")
+      val lastLang = graft.text.LangId.profiles.last._1
+      val maxExpr = graft.text.LangId.profiles.map(p => s"s_${p._1}").mkString(", ")
+      s"""SELECT doc_id, CASE $caseArms ELSE '$lastLang' END AS pred_lang
+          FROM (SELECT *, greatest($maxExpr) AS m
+                FROM (SELECT doc_id, $scoreCols
+                      FROM (SELECT doc_id,
+                              string_split_regex(trim(lower(text)), '\\s+') AS w
+                            FROM documents)))"""
+    }
+
     val all = Map(
       "x1_extract_text" -> s"SELECT url, text FROM $pages",
       "x2_extract_stats" -> s"SELECT url, length(text) AS text_chars FROM $pages",
@@ -1607,24 +1653,9 @@ object SparkEntry {
              WHERE target NOT IN (SELECT url FROM $pages)"""),
       "t8_fingerprint" ->
         s"SELECT doc_id, ${h60(s"array_to_string($tok, ' ')")} AS fp FROM documents",
-      "t9_langid" -> {
-        val stops = LangId.profiles.map { case (lang, ws) =>
-          lang -> ws.map(w => s"'$w'").mkString("[", ", ", "]")
-        }
-        val scoreCols = stops.map { case (lang, lst) =>
-          s"length(list_intersect(w, $lst)) AS s_$lang"
-        }.mkString(", ")
-        // winner = first language (profile order) attaining the overall
-        // max — the SQL mirror of the strictly-greater left fold
-        val caseArms = LangId.profiles.dropRight(1)
-          .map { case (lang, _) => s"WHEN s_$lang = m THEN '$lang'" }
-          .mkString(" ")
-        val lastLang = LangId.profiles.last._1
-        s"""WITH s AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS w FROM documents),
-            c AS (SELECT doc_id, $scoreCols FROM s)
-            SELECT doc_id, CASE $caseArms ELSE '$lastLang' END AS pred_lang
-            FROM (SELECT *, greatest(${LangId.profiles.map(p => s"s_${p._1}").mkString(", ")}) AS m FROM c)"""
-      },
+      // winner = first language (profile order) attaining the overall
+      // max — the SQL mirror of the strictly-greater left fold
+      "t9_langid" -> langIdSubquery,
       "t11_lsh_pairs" -> {
         def bucket(b: Int) = (0 until 4)
           .map(k => s"CAST(h${b * 4 + k} AS VARCHAR)").mkString(" || ',' || ")
@@ -1770,22 +1801,35 @@ object SparkEntry {
       // floor-divisions, joined on the raw gram strings (the Spark side
       // joins on their xxhash64 keys — same equivalence)
       "t29_lm_score" ->
-        (s"""WITH w AS (SELECT doc_id, $tok AS w FROM documents),
-             bg AS (SELECT doc_id, u.p AS p, u.g AS g FROM (
-                      SELECT doc_id,
-                        unnest([{'p': w[i], 'g': w[i] || ' ' || w[i+1]}
-                                for i in generate_series(1, length(w) - 1)])
-                          AS u
-                      FROM w WHERE length(w) >= 2) q),
-             c2 AS (SELECT g, p, count(*) AS c2 FROM bg GROUP BY 1, 2),
-             c1 AS (SELECT p, count(*) AS c1 FROM bg GROUP BY 1),
-             model AS (SELECT g, (10000 * c2.c2) // c1.c1 AS bp
-                       FROM c2 JOIN c1 USING (p)),
-             docc AS (SELECT doc_id, g, count(*) AS occ FROM bg GROUP BY 1, 2)
+        (s"""WITH $lmScoreCtes
              SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
                CAST(sum(occ * bp) AS BIGINT) AS sum_bp,
                CAST(sum(occ * bp) // sum(occ) AS BIGINT) AS avg_bp
              FROM docc JOIN model USING (g) GROUP BY 1"""),
+      // CCNet terciles: per-language head/middle/tail over the LM score,
+      // cuts from the (lang, avg_bp) histogram — cum counts vs n//3
+      "t33_ccnet_buckets" ->
+        (s"""WITH $lmScoreCtes,
+             sc AS (SELECT doc_id,
+                      CAST(sum(occ * bp) // sum(occ) AS BIGINT) AS avg_bp
+                    FROM docc JOIN model USING (g) GROUP BY 1),
+             lg AS ($langIdSubquery),
+             j AS (SELECT sc.doc_id, lg.pred_lang, sc.avg_bp
+                   FROM sc JOIN lg USING (doc_id)),
+             hist AS (SELECT pred_lang, avg_bp, count(*) AS cnt
+                      FROM j GROUP BY 1, 2),
+             m AS (SELECT pred_lang, avg_bp,
+                     sum(cnt) OVER (PARTITION BY pred_lang
+                       ORDER BY avg_bp DESC) AS cum_hi,
+                     sum(cnt) OVER (PARTITION BY pred_lang
+                       ORDER BY avg_bp ASC) AS cum_lo,
+                     sum(cnt) OVER (PARTITION BY pred_lang) AS n
+                   FROM hist)
+             SELECT j.doc_id, j.pred_lang, j.avg_bp,
+               CASE WHEN m.cum_hi <= m.n // 3 THEN 'head'
+                    WHEN m.cum_lo <= m.n // 3 THEN 'tail'
+                    ELSE 'middle' END AS bucket
+             FROM j JOIN m USING (pred_lang, avg_bp)"""),
       // DSIR importance weights: unigram+bigram features hashed into 4096
       // md5-60 buckets, add-one-smoothed ppm rates on both corpora, the
       // per-bucket target/raw rate ratio in basis points, occurrence-

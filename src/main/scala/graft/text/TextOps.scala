@@ -1037,6 +1037,47 @@ object TextOps {
         expr("sum_bp div n_bigrams").as("avg_bp"))
   }
 
+  /** CCNet-style per-language perplexity terciles (Wenzek et al. 2020):
+    * split each language's documents into head / middle / tail thirds by
+    * LM score — the bucketing CCNet feeds to curation (keep head+middle,
+    * drop or down-weight tail). `scored` is [[lmScore]]'s output (higher
+    * `avg_bp` = more predictable = "head"); `langs` is a
+    * (doc_id, pred_lang) table ([[LangId.predict]]).
+    *
+    * The cuts are computed on the per-(lang, avg_bp) VALUE HISTOGRAM,
+    * not on documents: `avg_bp` is integer basis points with ≤10,001
+    * distinct values, so the histogram is ≤ nLangs·10,001 rows no matter
+    * the corpus size. That turns the naive formulation (ntile over a
+    * per-language sort of every document — a single-partition sort per
+    * language, unusable on a skewed 10^12-doc corpus) into two
+    * map-side-combinable aggregates, a window over the tiny histogram,
+    * and one narrow (lang, avg_bp) equi-join back. No document-level
+    * window, sort, or shuffle of the payload.
+    *
+    * Bucket rule (deterministic, tie-groups never split): a document is
+    * `head` when the count of docs with avg_bp ≥ its value is ≤ ⌊n/3⌋,
+    * `tail` when the count with avg_bp ≤ its value is ≤ ⌊n/3⌋, else
+    * `middle`. Degenerate distributions (one value everywhere) land
+    * wholly in `middle` — both engines agree by construction. */
+  def ccnetBuckets(scored: DataFrame, langs: DataFrame): DataFrame = {
+    val j = scored.select(col("doc_id"), col("avg_bp")).join(langs, "doc_id")
+    val hist = j.groupBy(col("pred_lang"), col("avg_bp"))
+      .agg(count(lit(1)).as("cnt"))
+    val byLang = Window.partitionBy(col("pred_lang"))
+    val hi = byLang.orderBy(col("avg_bp").desc)
+    val lo = byLang.orderBy(col("avg_bp").asc)
+    val marked = hist
+      .withColumn("cum_hi", sum(col("cnt")).over(hi))
+      .withColumn("cum_lo", sum(col("cnt")).over(lo))
+      .withColumn("n", sum(col("cnt")).over(byLang))
+      .select(col("pred_lang"), col("avg_bp"),
+        when(col("cum_hi") <= expr("n div 3"), "head")
+          .when(col("cum_lo") <= expr("n div 3"), "tail")
+          .otherwise("middle").as("bucket"))
+    j.join(marked, Seq("pred_lang", "avg_bp"))
+      .select(col("doc_id"), col("pred_lang"), col("avg_bp"), col("bucket"))
+  }
+
   /** Sliding-window document chunking: cut every document into
     * fixed-capacity token windows advanced by `stride` (overlap =
     * capacity - stride), the per-document counterpart of [[packAssign]]
