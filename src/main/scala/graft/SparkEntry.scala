@@ -42,6 +42,9 @@ object SparkEntry {
   /** PageRank iterations for g3 — the oracle unrolls the same count. */
   private val PrIters = 3
 
+  /** HITS mutual-reinforcement rounds for g10 — oracle unrolls the same. */
+  private val HitsIters = 2
+
   private def docs(s: SparkSession, sfDir: String): DataFrame =
     s.read.parquet(s"$sfDir/documents.parquet")
 
@@ -580,6 +583,12 @@ object SparkEntry {
       out
     }),
 
+    // HITS hubs & authorities: directory pages (hub) vs content pages
+    // (authority) — integer floor-renormalised half-steps, bit-identical
+    // under any partitioning; same per-iteration plan skeleton as g3
+    "g10_hits" -> ((s, d) =>
+      GraphOps.hits(s, GraphOps.edges(pagesDf(s, d)), iterations = HitsIters)),
+
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
     "e2_knn_ivf" -> ((s, d) => Ann.ivfKnn(emb(s, d), k = 5)),
@@ -779,6 +788,41 @@ object SparkEntry {
             LEFT JOIN seeds s USING (node)),
           $iters
           SELECT node, mass FROM t$PrIters"""
+    }
+    // HITS replay: per round, raw auth = sum of source hubs per target,
+    // floor-renormalised by max(1, total // n // initMass); then the
+    // mirror half-step for hubs. Zero-degree nodes restored at the end.
+    val hitsSelect = {
+      val iters = (1 to HitsIters).map { i =>
+        val p = i - 1
+        s"""ar$i AS (SELECT ed.target AS node,
+               CAST(sum(h$p.hub) AS BIGINT) AS araw
+             FROM ed JOIN h$p ON ed.src = h$p.node GROUP BY 1),
+           a$i AS (SELECT node, CAST(araw // greatest(1,
+               (SELECT sum(araw) FROM ar$i) // (SELECT c FROM nn)
+                 // 1000000000000) AS BIGINT) AS auth
+             FROM ar$i),
+           hr$i AS (SELECT ed.src AS node,
+               CAST(sum(a$i.auth) AS BIGINT) AS hraw
+             FROM ed JOIN a$i ON ed.target = a$i.node GROUP BY 1),
+           h$i AS (SELECT node, CAST(hraw // greatest(1,
+               (SELECT sum(hraw) FROM hr$i) // (SELECT c FROM nn)
+                 // 1000000000000) AS BIGINT) AS hub
+             FROM hr$i)"""
+      }.mkString(",\n")
+      s"""WITH ed AS ($edgeSql),
+          nodes AS (SELECT DISTINCT node FROM
+            (SELECT src AS node FROM ed
+             UNION ALL SELECT target FROM ed)),
+          nn AS (SELECT count(*) AS c FROM nodes),
+          h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS hub
+                 FROM nodes),
+          $iters
+          SELECT n.node, coalesce(a.auth, 0) AS auth,
+            coalesce(h.hub, 0) AS hub
+          FROM nodes n
+          LEFT JOIN a$HitsIters a ON n.node = a.node
+          LEFT JOIN h$HitsIters h ON n.node = h.node"""
     }
     val hostRe = "'^[a-z]+://([^/]+)'"
     // per-host feature rollup over the PageRank replay — shared g5/g6
@@ -1563,6 +1607,7 @@ object SparkEntry {
       // g5/g6 embed the identical replay as a nested-WITH subquery)
       "g3_pagerank" -> pagerankSelect,
       "g9_trustrank" -> trustrankSelect,
+      "g10_hits" -> hitsSelect,
       "g4_host_components" ->
         // recursive reachability over the cross-host edge set — the
         // unique fixpoint the Spark-side min-label propagation reaches

@@ -276,6 +276,89 @@ object GraphOps {
     graft.util.CacheOnce.release(cur).select("node", "mass")
   }
 
+  /** HITS (Kleinberg 1999) hubs & authorities, integer-exact: the
+    * link-analysis complement to [[pagerank]]/[[trustRank]] a curation
+    * stack uses to separate DIRECTORY pages (high hub — link lists,
+    * nav hubs, crawl seeds) from CONTENT pages (high authority — what a
+    * training corpus wants to keep). One mutual-reinforcement round is
+    * auth(v) = Σ_{u→v} hub(u) then hub(u) = Σ_{u→v} auth(v), each
+    * renormalised; multi-edges count per edge, exactly like the
+    * PageRank family's edge semantics.
+    *
+    * Exactness: classic HITS L2-normalises, which no integer scheme
+    * replays. Here each half-step renormalises by FLOOR-dividing every
+    * raw sum by `max(1, rawTotal div (n·initMass))` — the mass total
+    * stays ≈ n·initMass, every operation is Long floor arithmetic, and
+    * the result is bit-identical under any partitioning (sums are
+    * order-free, the scale factor is a 1-row aggregate). The divisor
+    * form also never overflows: values are bounded by the running total
+    * (≤ maxdeg · n·initMass per half-step) and nothing is multiplied
+    * back up.
+    *
+    * Plan/scale shape: identical per-iteration skeleton to [[pagerank]]
+    * — the big edge table is hash-clustered on each join key once
+    * (persisted narrow, html never shuffles), each half-step is one
+    * shuffle_hash equi-join (edges × current mass) + a two-phase partial
+    * aggregate on the other endpoint, and the 1-row total returns as a
+    * broadcast. Zero-degree nodes never enter the iteration (zero
+    * contributes nothing) and are restored by the final left joins.
+    * Returns `(node, auth, hub)` over every edge endpoint. */
+  def hits(spark: SparkSession, edges0: DataFrame, iterations: Int = 2,
+           initMass: Long = DefaultInitMass): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1, got $iterations")
+    val e = edges0.select(col("src"), col("target"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    e.count() // materialize before the narrow cache branches (see pagerank)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("target").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    // renormalise raw(node) sums so the total returns to ≈ n·initMass:
+    // raw div max(1, total div (n·initMass)) — all Long, no blow-up
+    def renorm(raw: DataFrame, valCol: String): DataFrame = {
+      val tot = raw.agg(coalesce(sum(col(valCol)), lit(0L)).as("tot"))
+      raw.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"$valCol div greatest(1L, tot div ${n}L div ${initMass}L)")
+            .as(valCol))
+    }
+    var hub = nodes.select(col("node"), lit(initMass).as("hub"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hub.count()
+    var auth: DataFrame = null
+    var it = 0
+    while (it < iterations) {
+      val araw = e.join(hub.hint("shuffle_hash"), e("src") === hub("node"))
+        .groupBy(col("target").as("node")).agg(sum(col("hub")).as("auth"))
+      val nextAuth = renorm(araw, "auth").persist(StorageLevel.MEMORY_AND_DISK)
+      nextAuth.count()
+      if (auth != null) auth.unpersist()
+      auth = nextAuth
+      val hraw = e.join(auth.hint("shuffle_hash"), e("target") === auth("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
+      val nextHub = renorm(hraw, "hub").persist(StorageLevel.MEMORY_AND_DISK)
+      nextHub.count()
+      hub.unpersist()
+      hub = nextHub
+      it += 1
+    }
+    e.unpersist()
+    val out = nodes
+      .join(auth, Seq("node"), "left")
+      .join(hub, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("auth"), lit(0L)).as("auth"),
+        coalesce(col("hub"), lit(0L)).as("hub"))
+    // materialize through the persisted legs, then free them; hand out
+    // with a one-shot release so the caller's first action reads the
+    // cached rows and frees them (pagerank's contract)
+    val res = out.persist(StorageLevel.MEMORY_AND_DISK)
+    res.count()
+    nodes.unpersist(); auth.unpersist(); hub.unpersist()
+    graft.util.CacheOnce.release(res)
+  }
+
   /** Host-level link-quality features — the curation feature table a
     * web-text pipeline joins into tier assignment (domain-level signals,
     * the granularity real curation stacks filter at: individual corpus

@@ -318,4 +318,59 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       // b.org: 3 docs, mid+high = 1 -> 3333
       "b.org" -> ((3L, 0L, 2L, 1L, 0L, 3333L))))
   }
+
+  /** Plain-Scala replay of GraphOps.hits' integer semantics: per round
+    * raw auth = Σ src hubs per target (parallel edges count twice),
+    * floor-renormalised by max(1, total/n/init); mirrored for hubs. */
+  private def refHits(edges: Seq[(String, String)], iters: Int,
+                      init: Long = GraphOps.DefaultInitMass)
+      : Map[String, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    def renorm(raw: Map[String, Long]): Map[String, Long] = {
+      val div = math.max(1L, raw.valuesIterator.sum / n / init)
+      raw.view.mapValues(_ / div).toMap
+    }
+    var hub = nodes.map(_ -> init).toMap
+    var auth = Map.empty[String, Long]
+    for (_ <- 1 to iters) {
+      auth = renorm(edges.groupBy(_._2).view
+        .mapValues(_.map(e => hub.getOrElse(e._1, 0L)).sum).toMap)
+      hub = renorm(edges.groupBy(_._1).view
+        .mapValues(_.map(e => auth.getOrElse(e._2, 0L)).sum).toMap)
+    }
+    nodes.map(u => u -> ((auth.getOrElse(u, 0L), hub.getOrElse(u, 0L)))).toMap
+  }
+
+  test("hits matches the plain-Scala integer reference; directory hubs vs content authorities") {
+    // hub page h links to three content pages; the content pages link
+    // each other sparsely; parallel edge h->c1 counts twice
+    val dir = Seq(
+      ("h", "c1"), ("h", "c1"), ("h", "c2"), ("h", "c3"),
+      ("c1", "c2"), ("c2", "c1"))
+    val got = GraphOps.hits(spark, edgeDf(dir), iterations = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == refHits(dir, 2))
+    // the directory page is the top hub and has zero authority
+    assert(got("h")._2 == got.values.map(_._2).max && got("h")._1 == 0L)
+    // c1 (2 in-edges incl. the parallel one) is the top authority
+    assert(got("c1")._1 == got.values.map(_._1).max)
+    // dangling-side node c3 has zero hub score but nonzero authority
+    assert(got("c3")._2 == 0L && got("c3")._1 > 0L)
+  }
+
+  test("hits is bit-identical under repartitioning and frees its caches") {
+    val base = GraphOps.hits(spark, edgeDf(g), iterations = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val shuffled = GraphOps.hits(spark, edgeDf(g).repartition(7),
+        iterations = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(base.sameElements(shuffled))
+    // CacheOnce release fires on the listener bus — bounded poll
+    val deadline = System.currentTimeMillis() + 10000
+    def cached = spark.sparkContext.getPersistentRDDs.size
+    while (cached > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(cached == 0, "hits left persisted RDDs behind")
+  }
 }
