@@ -638,6 +638,21 @@ object SparkEntry {
       AnnIndex.query(s, graft.io.ParquetTableIO, root, e, k = 5)
     }),
 
+    // incremental ingest into the persisted index: build on 3/4 of the
+    // corpus (frozen centroids), append the held-out 1/4 with NO retrain,
+    // self-query the whole set — centroid training replayed over the base
+    // subset only, assignment over everything
+    "e16_ivf_append" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_e16_" + new java.io.File(d).getName).toString
+      val e = emb(s, d)
+      AnnIndex.build(s, e.filter(col("vec_id") % 4 =!= 0),
+        graft.io.ParquetTableIO, root)
+      AnnIndex.append(s, graft.io.ParquetTableIO, root,
+        e.filter(col("vec_id") % 4 === 0))
+      AnnIndex.query(s, graft.io.ParquetTableIO, root, e, k = 5)
+    }),
+
     // ---- deterministic integer-exact k-means (Lloyd, 2 fixed rounds)
     // over the SQ code space — cluster-balanced sampling / SemDeDup's
     // clustering stage; broadcast centroids + map-side-combinable argmin
@@ -1083,6 +1098,32 @@ object SparkEntry {
                               string_split_regex(trim(lower(text)), '\\s+') AS w
                             FROM documents)))"""
     }
+
+    // e16 replay: centroid training (count, stride, md5 "c:" seeds) over
+    // the base 3/4 subset ONLY; assignment/home/knn over the full set —
+    // exactly what build(base) + append(rest) + query(all) serves
+    val ivfAppendSql =
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+          vb AS (SELECT * FROM v WHERE vec_id % 4 <> 0),
+          par AS (SELECT count(*) AS n,
+                         greatest(4, least(4096, CAST(ceil(sqrt(count(*))) AS BIGINT))) AS cells
+                  FROM vb),
+          cent AS (SELECT vec_id AS cell, e AS c FROM vb, par
+                   WHERE ${h60("'c:' || CAST(vec_id AS VARCHAR)")} % greatest(1, n // cells) = 0),
+          assign AS (SELECT vec_id, cell, e,
+                            row_number() OVER (PARTITION BY vec_id
+                              ORDER BY list_cosine_similarity(e, c) DESC, cell ASC) AS rn
+                     FROM v CROSS JOIN cent),
+          probes AS (SELECT * FROM assign WHERE rn <= 4),
+          home AS (SELECT * FROM assign WHERE rn = 1),
+          sims AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                          list_cosine_similarity(l.e, r.e) AS sim
+                   FROM probes l JOIN home r
+                     ON l.cell = r.cell AND l.vec_id <> r.vec_id)
+          SELECT a AS vec_id, b AS neighbor_id, rank FROM (
+            SELECT a, b, row_number() OVER (PARTITION BY a
+              ORDER BY sim DESC, b ASC) AS rank FROM sims)
+          WHERE rank <= 5"""
 
     val all = Map(
       "x1_extract_text" -> s"SELECT url, text FROM $pages",
@@ -1991,6 +2032,7 @@ object SparkEntry {
       // the persisted index is bit-identical to the inline plan by
       // construction (AnnIndexSpec) — same replay
       "e14_persisted_ivf" -> ivfKnnSql,
+      "e16_ivf_append" -> ivfAppendSql,
       "e3_label_counts" ->
         "SELECT label, count(*) AS cnt, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM embeddings GROUP BY label",
       "e4_cosine_dups" ->

@@ -61,6 +61,37 @@ object AnnIndex {
     io.overwrite(cent.select(col("cell"), col("c")), io.resolve(root, "centroids"))
   }
 
+  /** Incremental ingest: assign `newVecs` (vec_id, embedding) to the
+    * EXISTING persisted centroid set and append them to the
+    * cell-partitioned vectors table — the hourly-batch path of a
+    * nightly-built index. No retrain, no rewrite of resident cells: the
+    * only writes are the new rows' own cell partitions (for Parquet a
+    * handful of new files; for Iceberg one append snapshot), so ingest
+    * cost scales with the batch, never the corpus. Centroids drift from
+    * the data distribution as appends accumulate — the standard serving
+    * trade — and the next [[build]] re-trains; recall for appended
+    * vectors is the same nprobe/cells contract as for resident ones
+    * because home assignment uses the identical expression
+    * ([[Ann.ivfAssign]]'s cosine-desc, cell-asc tie-break) against the
+    * same frozen centroid table. Batch-split invariant: appending one
+    * batch or the same rows in any split yields byte-identical tables
+    * (per-row assignment against a constant centroid set). */
+  def append(spark: SparkSession, io: TableIO, root: String,
+             newVecs: DataFrame): Unit = {
+    val cent = broadcast(io.read(spark, io.resolve(root, "centroids"))
+      .select(col("cell").cast("long").as("cell"), col("c")))
+    val v = newVecs.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("e"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d").asc, col("cell").asc)
+    val home = v.crossJoin(cent)
+      .withColumn("d", Ann.dot(col("e"), col("c")) /
+        (sqrt(Ann.dot(col("e"), col("e"))) * sqrt(Ann.dot(col("c"), col("c")))) * -1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("e"), col("cell"))
+    io.append(home, io.resolve(root, "vectors"), partitionCols = Seq("cell"))
+  }
+
   /** Top-k cosine neighbours of `queries` (vec_id, embedding) from the
     * persisted index: assign each query to its `nprobe` nearest
     * centroids (broadcast centroid table — KB-scale), then join the

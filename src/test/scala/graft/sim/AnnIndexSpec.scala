@@ -68,4 +68,42 @@ class AnnIndexSpec extends AnyFunSuite with BeforeAndAfterAll {
       "neighbors must come from the rebuilt (half) corpus only")
     AnnIndex.build(spark, emb, ParquetTableIO, root) // restore full index
   }
+
+  test("append ingests without retrain: centroids frozen, batch-split invariant, new rows retrievable") {
+    val r2 = java.nio.file.Files.createTempDirectory("annappend").toString
+    val r3 = java.nio.file.Files.createTempDirectory("annappend2").toString
+    try {
+      val base = emb.filter(col("vec_id") % 4 =!= 0)
+      val rest = emb.filter(col("vec_id") % 4 === 0)
+      AnnIndex.build(spark, base, ParquetTableIO, r2)
+      val centBefore = spark.read.parquet(s"$r2/centroids")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      AnnIndex.append(spark, ParquetTableIO, r2, rest)
+      val centAfter = spark.read.parquet(s"$r2/centroids")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(centBefore == centAfter, "append must not retrain centroids")
+      // same rows appended as two batches -> identical query results
+      AnnIndex.build(spark, base, ParquetTableIO, r3)
+      AnnIndex.append(spark, ParquetTableIO, r3,
+        rest.filter(col("vec_id") % 8 === 0))
+      AnnIndex.append(spark, ParquetTableIO, r3,
+        rest.filter(col("vec_id") % 8 =!= 0))
+      def q(root: String) = AnnIndex.query(spark, ParquetTableIO, root, emb, k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      val one = q(r2); val two = q(r3)
+      assert(one == two, "append must be batch-split invariant")
+      // appended vectors are retrievable as neighbors
+      assert(one.exists(_._2 % 4 == 0),
+        "appended vectors must surface in query results")
+      // and the appended rows landed in cells of the FROZEN centroid set
+      val cells = spark.read.parquet(s"$r2/vectors")
+        .select(col("cell").cast("long")).distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(cells.subsetOf(centBefore.toSet))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r2))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(r3))
+    }
+  }
 }
