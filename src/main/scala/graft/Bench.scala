@@ -232,6 +232,18 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // MRL funnel retrieval (round 4): prefix-dim shortlist + exact
+    // re-rank, the training-free counterpart of e13; outside the total
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val (_, sec) = time {
+        graft.sim.Ann.mrlRerankKnn(emb, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "e17_mrl_rerank" -> f"$sec%.3f"
+      spark.catalog.clearCache()
+    }
+
     // persisted IVF (round 4): build-once / query-many split — the index
     // build (one corpus pass + cell-partitioned rewrite) and a small
     // 64-query batch against it (dynamic-partition-pruned scan). Outside
@@ -308,6 +320,57 @@ object Bench {
         sec
       }.min
       extras += "g3_pagerank" -> f"$g3Sec%.3f"
+    }
+
+    // round-4 session additions — all outside the frozen headline total.
+    // x20: one pruned pages scan + narrow (host,tpl) aggregate+join;
+    // g10: 2-round integer HITS (best-of-2 like g3 — same Outlinks JIT
+    // ramp); t33: LM-score + langid passes, histogram-cut buckets;
+    // e16: the INGEST path only — append a 25% batch to a prebuilt
+    // index (build untimed: e14_index_build already reports it)
+    locally {
+      val pages = spark.read.parquet(pagesPath)
+      val (_, x20Sec) = time {
+        graft.web.Templates.templateClusters(pages)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "x20_templates" -> f"$x20Sec%.3f"
+      spark.catalog.clearCache()
+      val g10Sec = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          graft.graph.GraphOps.hits(spark, graft.graph.GraphOps.edges(pages))
+            .write.mode("overwrite").format("noop").save()
+        }
+        spark.catalog.clearCache()
+        sec
+      }.min
+      extras += "g10_hits" -> f"$g10Sec%.3f"
+    }
+    locally {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val (_, sec) = time {
+        graft.text.TextOps.ccnetBuckets(
+          graft.text.TextOps.lmScore(docs, docs),
+          graft.text.LangId.predict(docs))
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "t33_ccnet_buckets" -> f"$sec%.3f"
+      spark.catalog.clearCache()
+    }
+    locally {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_bench_e16").toString
+      graft.sim.AnnIndex.build(spark, emb.filter(col("vec_id") % 4 =!= 0),
+        graft.io.ParquetTableIO, root)
+      val (_, sec) = time {
+        graft.sim.AnnIndex.append(spark, graft.io.ParquetTableIO, root,
+          emb.filter(col("vec_id") % 4 === 0))
+      }
+      extras += "e16_index_append" -> f"$sec%.3f"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      spark.catalog.clearCache()
     }
 
     // O(n²) baseline, reported separately — runs BEFORE the tier job so

@@ -627,6 +627,11 @@ object SparkEntry {
     "e12_pq_knn" -> ((s, d) => Ann.pqKnn(emb(s, d), k = 5)),
     "e13_pq_rerank" -> ((s, d) => Ann.pqRerankKnn(emb(s, d), k = 5)),
 
+    // Matryoshka funnel retrieval: prefix-dim (d/4) cosine shortlist
+    // inside the probed IVF cells, exact full-dim re-rank of survivors
+    // only — the training-free counterpart of e13's PQ/ADC path
+    "e17_mrl_rerank" -> ((s, d) => Ann.mrlRerankKnn(emb(s, d), k = 5)),
+
     // build-once/query-many persisted IVF (AnnIndex): index built into a
     // scratch root through the TableIO seam, then self-queried — bit-
     // identical to the inline e2 plan, so it shares e2's oracle replay
@@ -2033,6 +2038,29 @@ object SparkEntry {
       // construction (AnnIndexSpec) — same replay
       "e14_persisted_ivf" -> ivfKnnSql,
       "e16_ivf_append" -> ivfAppendSql,
+      // MRL funnel replay: prefix-16 cosine shortlist (rank 20) inside
+      // the shared IVF cells, exact full-width cosine top-5 above it
+      "e17_mrl_rerank" ->
+        (s"""WITH ${ivfAssignSql(4)},
+             mprobes AS (SELECT vec_id, cell, e FROM assign WHERE rn <= 4),
+             home AS (SELECT vec_id, cell, e FROM assign WHERE rn = 1),
+             cand AS (SELECT l.vec_id AS a, r.vec_id AS b,
+                        l.e AS ea, r.e AS eb,
+                        list_cosine_similarity(l.e[1:16], r.e[1:16]) AS psim
+                      FROM mprobes l JOIN home r
+                        ON l.cell = r.cell AND l.vec_id <> r.vec_id),
+             short AS (SELECT a, b, ea, eb FROM (
+                         SELECT a, b, ea, eb, row_number() OVER (
+                           PARTITION BY a ORDER BY psim DESC, b ASC) AS rs
+                         FROM cand)
+                       WHERE rs <= 20)
+             SELECT vec_id, neighbor_id, rank FROM (
+               SELECT a AS vec_id, b AS neighbor_id,
+                 row_number() OVER (PARTITION BY a
+                   ORDER BY list_cosine_similarity(ea, eb) DESC, b ASC)
+                   AS rank
+               FROM short)
+             WHERE rank <= 5"""),
       "e3_label_counts" ->
         "SELECT label, count(*) AS cnt, CAST(sum(vec_id) AS BIGINT) AS id_sum FROM embeddings GROUP BY label",
       "e4_cosine_dups" ->

@@ -539,6 +539,50 @@ object Ann {
       .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("rank"))
   }
 
+  /** Matryoshka-style two-stage retrieval (Kusupati et al. 2022 MRL /
+    * adaptive "funnel" retrieval): inside the probed IVF cells, rank
+    * candidates by cosine over only the FIRST `dPrefix` dimensions (MRL
+    * embeddings front-load information, so the prefix is a trained
+    * coarse scorer — here it is simply the prefix, the serving-side
+    * contract), keep a `shortlist`, then re-rank just the shortlist by
+    * exact full-dimension cosine. The expensive full-width dot products
+    * run on n·shortlist rows instead of every candidate pair — at
+    * dPrefix = d/4 the candidate-scoring flops drop ~4× against
+    * [[ivfKnn]] with the same cells/nprobe, without PQ's codebook
+    * training pass (the trade vs [[pqRerankKnn]]: no training, but
+    * 4-byte floats per prefix dim instead of int8 codes).
+    *
+    * Plan shape: ONE cell equi-join (probes × home, both sides carrying
+    * their float vectors — nothing joins back later), a WindowGroupLimit
+    * partial top-`shortlist` on the prefix score, and the full-dim
+    * projection + top-k strictly ABOVE the shortlist filter, so
+    * whole-stage codegen only evaluates the wide dot on surviving rows.
+    * Rank/tie semantics match [[cosineKnn]] (sim desc, id asc). */
+  def mrlRerankKnn(emb: DataFrame, k: Int, dPrefix: Int = 16,
+                   shortlist: Int = 20, cells: Int = 0,
+                   nprobe: Int = 4): DataFrame = {
+    val assign = graft.util.CacheOnce(ivfAssign(emb, cells, nprobe))
+    val probes = assign.select(col("vec_id").as("a"), col("cell"), col("e").as("ea"))
+    val home = assign.filter(col("rn") === 1)
+      .select(col("vec_id").as("b"), col("cell").as("cellr"), col("e").as("eb"))
+    def prefix(c: Column): Column = slice(c, 1, dPrefix)
+    val wS = Window.partitionBy(col("a")).orderBy(col("psim").desc, col("b").asc)
+    val short = probes
+      .join(home, col("cell") === col("cellr") && col("a") =!= col("b"))
+      .withColumn("psim", dot(prefix(col("ea")), prefix(col("eb"))) /
+        (sqrt(dot(prefix(col("ea")), prefix(col("ea")))) *
+          sqrt(dot(prefix(col("eb")), prefix(col("eb"))))))
+      .withColumn("rs", row_number().over(wS))
+      .filter(col("rs") <= shortlist)
+    val wK = Window.partitionBy(col("a")).orderBy(col("sim").desc, col("b").asc)
+    short
+      .withColumn("sim", dot(col("ea"), col("eb")) /
+        (sqrt(dot(col("ea"), col("ea"))) * sqrt(dot(col("eb"), col("eb")))))
+      .withColumn("rank", row_number().over(wK))
+      .filter(col("rank") <= k)
+      .select(col("a").as("vec_id"), col("b").as("neighbor_id"), col("rank"))
+  }
+
   /** Cluster-balanced subsample — the diversity-sampling stage that turns
     * [[kmeansAssign]] into a curation operator (SemDeDup/DoReMi-style:
     * cap each semantic cluster at `m` members so no dense region

@@ -513,4 +513,48 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.forall(_._3 == 0L), "identical vectors sit on their centroid")
     spark.catalog.clearCache()
   }
+
+  test("MRL funnel: full-dim re-rank lifts recall@5 over prefix-only ordering") {
+    // the property the funnel exists for: a d/4 prefix scorer is cheap
+    // but lossy; exact re-rank of its shortlist recovers what the
+    // prefix misranked. Clustered fixture as in the PQ re-rank spec.
+    val s = spark
+    import s.implicits._
+    val dim = 16
+    val rng = new scala.util.Random(11)
+    val centers = Array.fill(20)(Array.fill(dim)(rng.nextGaussian()))
+    val emb = (0L until 500L).map { id =>
+      val c = centers((id % 20).toInt)
+      (id, c.map(x => (x + 0.08 * rng.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Ann.cosineKnn(emb, k = 5)
+      .select("vec_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("vec_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (got & exact).size.toDouble / exact.size
+    }
+    // shortlist=k -> the answer SET is the prefix-only top-5
+    val prefixOnly = recall(Ann.mrlRerankKnn(emb, k = 5, dPrefix = 4, shortlist = 5))
+    val funnel = recall(Ann.mrlRerankKnn(emb, k = 5, dPrefix = 4, shortlist = 20))
+    info(f"recall@5: prefix-only $prefixOnly%.3f -> funnel $funnel%.3f")
+    assert(funnel >= prefixOnly,
+      f"funnel must not lose recall: $funnel%.3f < $prefixOnly%.3f")
+    assert(funnel >= 0.75, f"funnel recall@5 $funnel%.3f below floor")
+    spark.catalog.clearCache()
+  }
+
+  test("mrlRerankKnn: dense ranks per query; bit-identical under repartitioning") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    def run(parts: Int): Seq[(Long, Long, Int)] =
+      Ann.mrlRerankKnn(emb.repartition(parts), k = 3, shortlist = 10).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .sortBy(t => (t._1, t._3)).toSeq
+    val a = run(7); val b = run(3)
+    spark.catalog.clearCache()
+    assert(a == b, "prefix shortlist + float re-rank must not depend on partitioning")
+    assert(a.groupBy(_._1).values.forall(_.map(_._3).sorted == Seq(1, 2, 3)),
+      "each query carries dense ranks 1..k")
+  }
 }
