@@ -813,6 +813,7 @@ object SparkEntry {
     // floor-renormalised by max(1, total // n // initMass); then the
     // mirror half-step for hubs. Zero-degree nodes restored at the end.
     val hitsSelect = {
+      val hm = graft.graph.GraphOps.DefaultHitsMass
       val iters = (1 to HitsIters).map { i =>
         val p = i - 1
         s"""ar$i AS (SELECT ed.target AS node,
@@ -820,14 +821,14 @@ object SparkEntry {
              FROM ed JOIN h$p ON ed.src = h$p.node GROUP BY 1),
            a$i AS (SELECT node, CAST(araw // greatest(1,
                (SELECT sum(araw) FROM ar$i) // (SELECT c FROM nn)
-                 // 1000000000000) AS BIGINT) AS auth
+                 // $hm) AS BIGINT) AS auth
              FROM ar$i),
            hr$i AS (SELECT ed.src AS node,
                CAST(sum(a$i.auth) AS BIGINT) AS hraw
              FROM ed JOIN a$i ON ed.target = a$i.node GROUP BY 1),
            h$i AS (SELECT node, CAST(hraw // greatest(1,
                (SELECT sum(hraw) FROM hr$i) // (SELECT c FROM nn)
-                 // 1000000000000) AS BIGINT) AS hub
+                 // $hm) AS BIGINT) AS hub
              FROM hr$i)"""
       }.mkString(",\n")
       s"""WITH ed AS ($edgeSql),
@@ -835,7 +836,7 @@ object SparkEntry {
             (SELECT src AS node FROM ed
              UNION ALL SELECT target FROM ed)),
           nn AS (SELECT count(*) AS c FROM nodes),
-          h0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS hub
+          h0 AS (SELECT node, CAST($hm AS BIGINT) AS hub
                  FROM nodes),
           $iters
           SELECT n.node, coalesce(a.auth, 0) AS auth,

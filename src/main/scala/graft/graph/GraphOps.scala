@@ -111,6 +111,11 @@ object GraphOps {
     * that. */
   val DefaultInitMass: Long = 1000000000000L
 
+  /** Default per-node mass for [[hits]] — smaller than PageRank's
+    * because HITS half-step sums are degree-amplified (see the
+    * overflow bound in [[hits]]'s doc). */
+  val DefaultHitsMass: Long = 100000000L
+
   /** Fixed-iteration PageRank over `edges(src, target)` in EXACT integer
     * arithmetic — every mass transfer is a Long floor-division
     * (`mass * 85 div 100 div outdeg`), so the result is bit-identical
@@ -290,10 +295,17 @@ object GraphOps {
     * raw sum by `max(1, rawTotal div (n·initMass))` — the mass total
     * stays ≈ n·initMass, every operation is Long floor arithmetic, and
     * the result is bit-identical under any partitioning (sums are
-    * order-free, the scale factor is a 1-row aggregate). The divisor
-    * form also never overflows: values are bounded by the running total
-    * (≤ maxdeg · n·initMass per half-step) and nothing is multiplied
-    * back up.
+    * order-free, the scale factor is a 1-row aggregate). Nothing is
+    * multiplied back up, so the only overflow surface is the raw
+    * half-step SUM, bounded by `maxdeg · n · initMass` (each edge
+    * contributes one endpoint's mass, masses total ≈ n·initMass and a
+    * degree-d node is counted d times). Hence [[DefaultHitsMass]] =
+    * 10⁸, not PageRank's 10¹²: the bound must stay under 2⁶³, and the
+    * caller shrinks `initMass` further for graphs where
+    * `n · maxdeg > ~10¹¹` (precision degrades gracefully — mass
+    * resolution is 1 part in initMass per node on average). Spark's
+    * ANSI mode turns any miscalibration into a loud
+    * ARITHMETIC_OVERFLOW, never a silent wrap.
     *
     * Plan/scale shape: identical per-iteration skeleton to [[pagerank]]
     * — the big edge table is hash-clustered on each join key once
@@ -304,24 +316,41 @@ object GraphOps {
     * contributes nothing) and are restored by the final left joins.
     * Returns `(node, auth, hub)` over every edge endpoint. */
   def hits(spark: SparkSession, edges0: DataFrame, iterations: Int = 2,
-           initMass: Long = DefaultInitMass): DataFrame = {
+           initMass: Long = DefaultHitsMass): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
-    val e = edges0.select(col("src"), col("target"))
+    // TWO narrow edge caches, one hash-clustered per join key: the auth
+    // half-step joins on src, the hub half-step on target — with one
+    // layout every other half-step reshuffles the whole edge list per
+    // round; eTgt derives from the materialized eSrc cache, so the
+    // (expensive, DOM-parsing) upstream runs exactly once
+    val eSrc = edges0.select(col("src"), col("target"))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    e.count() // materialize before the narrow cache branches (see pagerank)
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("target").as("node")))
+    eSrc.count()
+    val eTgt = eSrc.repartition(col("target"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eSrc.select(col("src").as("node"))
+      .union(eSrc.select(col("target").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     // renormalise raw(node) sums so the total returns to ≈ n·initMass:
-    // raw div max(1, total div (n·initMass)) — all Long, no blow-up
-    def renorm(raw: DataFrame, valCol: String): DataFrame = {
+    // raw div max(1, total div (n·initMass)) — all Long, no blow-up.
+    // `raw` is persisted so the 1-row total and the renormalised output
+    // read ONE execution of the join+aggregate (the broadcast leg runs
+    // first and populates the cache; the probe leg reads it), released
+    // as soon as the output materializes.
+    def renorm(raw0: DataFrame, valCol: String): DataFrame = {
+      val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
       val tot = raw.agg(coalesce(sum(col(valCol)), lit(0L)).as("tot"))
-      raw.crossJoin(broadcast(tot))
+      val out = raw.crossJoin(broadcast(tot))
         .select(col("node"),
           expr(s"$valCol div greatest(1L, tot div ${n}L div ${initMass}L)")
             .as(valCol))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      raw.unpersist()
+      out
     }
     var hub = nodes.select(col("node"), lit(initMass).as("hub"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -329,21 +358,21 @@ object GraphOps {
     var auth: DataFrame = null
     var it = 0
     while (it < iterations) {
-      val araw = e.join(hub.hint("shuffle_hash"), e("src") === hub("node"))
-        .groupBy(col("target").as("node")).agg(sum(col("hub")).as("auth"))
-      val nextAuth = renorm(araw, "auth").persist(StorageLevel.MEMORY_AND_DISK)
-      nextAuth.count()
+      val nextAuth = renorm(
+        eSrc.join(hub.hint("shuffle_hash"), eSrc("src") === hub("node"))
+          .groupBy(col("target").as("node")).agg(sum(col("hub")).as("auth")),
+        "auth")
       if (auth != null) auth.unpersist()
       auth = nextAuth
-      val hraw = e.join(auth.hint("shuffle_hash"), e("target") === auth("node"))
-        .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub"))
-      val nextHub = renorm(hraw, "hub").persist(StorageLevel.MEMORY_AND_DISK)
-      nextHub.count()
+      val nextHub = renorm(
+        eTgt.join(auth.hint("shuffle_hash"), eTgt("target") === auth("node"))
+          .groupBy(col("src").as("node")).agg(sum(col("auth")).as("hub")),
+        "hub")
       hub.unpersist()
       hub = nextHub
       it += 1
     }
-    e.unpersist()
+    eSrc.unpersist(); eTgt.unpersist()
     val out = nodes
       .join(auth, Seq("node"), "left")
       .join(hub, Seq("node"), "left")

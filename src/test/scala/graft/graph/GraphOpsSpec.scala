@@ -323,7 +323,7 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     * raw auth = Σ src hubs per target (parallel edges count twice),
     * floor-renormalised by max(1, total/n/init); mirrored for hubs. */
   private def refHits(edges: Seq[(String, String)], iters: Int,
-                      init: Long = GraphOps.DefaultInitMass)
+                      init: Long = GraphOps.DefaultHitsMass)
       : Map[String, (Long, Long)] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size.toLong
