@@ -462,6 +462,25 @@ object SparkEntry {
         graft.web.UrlNorm.canonical(decorated).as("canon"))
     }),
 
+    // ---- mojibake repair: the ftfy-core encoding fix before
+    // tokenization. The corpus text is clean, so the query plants the
+    // classic UTF-8-as-cp1252 sequences deterministically (variant =
+    // length % 3; one branch stays untouched so the identity path
+    // executes) and repairs the decorated form — literal replace chain,
+    // pure codegen'd projection, zero exchanges. ------------------------
+    "x21_mojibake" -> ((s, d) => {
+      val t = col("text")
+      val decorated = when(length(t) % 3 === 0,
+          concat(lit("Ã©"), t, lit("â€™")))
+        .when(length(t) % 3 === 1,
+          concat(lit("â€œ"), t, lit("â€¦Â ")))
+        .otherwise(t)
+      docs(s, d).select(col("doc_id"), decorated.as("decorated"))
+        .withColumn("repaired", graft.text.Mojibake.repair(col("decorated")))
+        .withColumn("chars_fixed",
+          length(col("decorated")) - length(col("repaired")))
+    }),
+
     // ---- robots-style URL exclusion (crawl gate): host equi-join against
     // a per-host prefix-rule table, longest-match wins, allow wins ties.
     // The rule table is synthesized deterministically from the corpus's
@@ -1599,6 +1618,23 @@ object SparkEntry {
              FROM fp f JOIN (SELECT host, tpl, count(*) AS tpl_pages
                              FROM fp GROUP BY 1, 2) s
                USING (host, tpl)"""),
+      // mojibake replay: the identical decoration + the identical nested
+      // literal-replace chain (generated from Mojibake.Rules, same order)
+      "x21_mojibake" -> {
+        val chain = graft.text.Mojibake.Rules.foldLeft("decorated") {
+          case (acc, (b, f)) => s"replace($acc, '$b', '$f')"
+        }
+        s"""WITH dd AS (SELECT doc_id,
+               CASE CAST(length(text) % 3 AS INT)
+                 WHEN 0 THEN 'Ã©' || text || 'â€™'
+                 WHEN 1 THEN 'â€œ' || text || 'â€¦Â '
+                 ELSE text END AS decorated
+             FROM documents),
+             r AS (SELECT doc_id, decorated, $chain AS repaired FROM dd)
+             SELECT doc_id, decorated, repaired,
+               length(decorated) - length(repaired) AS chars_fixed
+             FROM r"""
+      },
       "x16_url_canon" ->
         (s"""WITH d AS (
                SELECT url,
