@@ -264,6 +264,12 @@ object SparkEntry {
     "t22_decontam" -> ((s, d) =>
       TextOps.decontaminate(docs(s, d),
         docs(s, d).filter(col("doc_id") % 97 === 0))),
+    // decontamination REWRITE: cut every token covered by a leaked
+    // benchmark 8-gram (t22 counts; this removes) — broadcast benchmark
+    // gram hashes, interval-merged per-row rewrite
+    "t34_decontam_rewrite" -> ((s, d) =>
+      TextOps.decontamRemoval(docs(s, d),
+        docs(s, d).filter(col("doc_id") % 97 === 0))),
     // incremental ingest dedup: the nightly-batch shape — new docs
     // (doc_id % 3 != 0) deduped within the batch and anti-joined
     // against the committed corpus (doc_id % 3 == 0) by text hash
@@ -1831,6 +1837,36 @@ object SparkEntry {
                CAST(sum(coalesce(hit, 0)) AS BIGINT) AS contaminated_positions,
                count(*) AS n_positions
              FROM pos LEFT JOIN bg USING (g) GROUP BY doc_id"""),
+      // decontamination rewrite: t26's interval arithmetic with coverage
+      // coming from the benchmark gram set instead of the df/keeper rule
+      "t34_decontam_rewrite" ->
+        (s"""WITH toks AS (SELECT doc_id, $tok AS w FROM documents),
+            pos AS (
+              SELECT doc_id, u.i AS i, u.g AS g FROM (
+                SELECT doc_id,
+                  unnest([{'i': i, 'g': array_to_string(w[i:i+7], ' ')}
+                          for i in generate_series(1, greatest(length(w)-7, 1))]) AS u
+                FROM toks) q),
+            bg AS (SELECT DISTINCT g FROM ${gramsSql(8,
+              "(SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0) b")}),
+            cov AS (SELECT DISTINCT doc_id, j FROM (
+                      SELECT p.doc_id, unnest(generate_series(p.i, p.i + 7)) AS j
+                      FROM pos p JOIN bg USING (g)) c2),
+            words AS (SELECT doc_id, u.p AS p, u.tok AS tok FROM (
+                        SELECT doc_id,
+                          unnest([{'p': i, 'tok': w[i]}
+                                  for i in generate_series(1, length(w))]) AS u
+                        FROM toks) q2),
+            kept AS (SELECT wd.doc_id, wd.p, wd.tok
+                     FROM words wd LEFT JOIN cov c
+                       ON c.doc_id = wd.doc_id AND c.j = wd.p
+                     WHERE c.j IS NULL),
+            nt AS (SELECT doc_id, CAST(length(w) AS BIGINT) AS n_tokens FROM toks)
+            SELECT nt.doc_id AS doc_id, nt.n_tokens AS n_tokens,
+              CAST(nt.n_tokens - count(k.p) AS BIGINT) AS n_removed,
+              coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text
+            FROM nt LEFT JOIN kept k ON k.doc_id = nt.doc_id
+            GROUP BY nt.doc_id, nt.n_tokens"""),
       "t23_ingest_dedup" ->
         ("""WITH nh AS (SELECT md5(text) AS h, min(doc_id) AS doc_id
                         FROM documents WHERE doc_id % 3 <> 0 GROUP BY 1)

@@ -938,13 +938,7 @@ object TextOps {
     * path and rewrite to themselves. */
   def dupSpanRemoval(docs: DataFrame, n: Int = 8): DataFrame = {
     val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
-    val pos = toks
-      .select(col("doc_id"), explode(transform(
-        sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))),
-        i => struct(i.as("i"),
-          xxhash64(concat_ws(" ", slice(col("w"), i, lit(n)))).as("gh"))))
-        .as("p"))
-      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+    val pos = gramStartPositions(toks, n)
     val perDocGram = pos.groupBy("gh", "doc_id")
       .agg(collect_list("i").as("starts"))
     // perDocGram rows are distinct per (gh, doc): df = plain count
@@ -954,8 +948,30 @@ object TextOps {
       .where(col("df") >= 2 && col("doc_id") =!= col("keeper"))
       .groupBy("doc_id")
       .agg(array_sort(flatten(collect_list(col("starts")))).as("starts"))
+    cutStarts(toks, loserStarts, n)
+  }
 
-    // typed empty values for the no-duplicates left-join path
+  /** (doc_id, i, gh): every word-`n`-gram start position with its 8-byte
+    * gram hash — the shared front of [[dupSpanRemoval]] and
+    * [[decontamRemoval]]. One Generate per row, hash computed map-side,
+    * gram STRINGS never leave the row. */
+  private def gramStartPositions(toks: DataFrame, n: Int): DataFrame =
+    toks
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), greatest(size(col("w")) - (n - 1), lit(1))),
+        i => struct(i.as("i"),
+          xxhash64(concat_ws(" ", slice(col("w"), i, lit(n)))).as("gh"))))
+        .as("p"))
+      .select(col("doc_id"), col("p.i").as("i"), col("p.gh").as("gh"))
+
+  /** Rewrite each document dropping every token covered by an `n`-gram
+    * start in `starts(doc_id, starts)` (sorted array). Per-row
+    * projection: sorted starts → merged [lo,hi] intervals (linear in
+    * interval count, not tokens × starts) → filter positions → re-join.
+    * Docs absent from `starts` take the left-join null path and rewrite
+    * to themselves. Output (doc_id, n_tokens, n_removed, clean_text). */
+  private def cutStarts(toks: DataFrame, starts: DataFrame, n: Int): DataFrame = {
+    // typed empty values for the nothing-to-cut left-join path
     val noStarts = slice(array(lit(0)), lit(1), lit(0))
     val noIvs = slice(
       array(struct(lit(0).as("lo"), lit(0).as("hi"))), lit(1), lit(0))
@@ -971,7 +987,7 @@ object TextOps {
           concat(acc, array(struct(s.as("lo"), (s + (n - 1)).as("hi")))))
     })
 
-    toks.join(loserStarts, Seq("doc_id"), "left")
+    toks.join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("w"),
         mergeIvs(coalesce(col("starts"), noStarts)).as("ivs"))
       .select(col("doc_id"), col("w"),
@@ -984,6 +1000,35 @@ object TextOps {
         concat_ws(" ",
           transform(col("kept"), j => element_at(col("w"), j)))
           .as("clean_text"))
+  }
+
+  /** Decontamination REWRITE — the surgical form of [[decontaminate]]
+    * (which only counts): cut every token position covered by a word
+    * `n`-gram that appears in the benchmark/eval set, keep the rest of
+    * the document. Dropping whole contaminated documents (the blunt
+    * form) wastes the 99% of a long page that never leaked; this is the
+    * targeted alternative real pipelines pair with it when the overlap
+    * is incidental (quoted test questions, embedded eval snippets).
+    * Same interval semantics as [[dupSpanRemoval]] — a document that IS
+    * a benchmark document rewrites to the empty string.
+    *
+    * Scale shape: the benchmark side reduces to DISTINCT 8-byte gram
+    * hashes and BROADCASTS (eval sets are KB–MB scale); the corpus side
+    * is one Generate + map-side hash per row, an inner broadcast join
+    * keeps only leaked positions (never a shuffle of the corpus), one
+    * narrow per-doc collect of start positions, and the per-row
+    * interval rewrite of [[cutStarts]]. */
+  def decontamRemoval(docs: DataFrame, benchmark: DataFrame,
+                      n: Int = 8): DataFrame = {
+    val toks = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+    val bg = broadcast(
+      explodedGrams(benchmark, n, "g")
+        .select(xxhash64(col("g")).as("gh")).distinct())
+    val leakStarts = gramStartPositions(toks, n)
+      .join(bg, Seq("gh"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(col("i"))).as("starts"))
+    cutStarts(toks, leakStarts, n)
   }
 
   /** Corpus-trained bigram-LM quality score — the statistical-language-

@@ -759,4 +759,31 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map(1L -> 5L, 2L -> 1L, 3L -> 7L))
     assert(a == run(2), "integer-exact weights must not depend on partitioning")
   }
+
+  test("decontamRemoval cuts exactly the leaked benchmark span, keeps the rest") {
+    val leak = "q1 q2 q3 q4 q5 q6 q7 q8"
+    val corpus = docs(
+      1L -> s"intro words $leak outro tail",      // leaked mid-document
+      2L -> leak,                                  // IS a benchmark doc
+      3L -> "clean document with no benchmark overlap at all present")
+    val bench = docs(100L -> leak)
+    val r = TextOps.decontamRemoval(corpus, bench).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((12L, 8L, "intro words outro tail")),
+      "exactly the 8 leaked tokens are cut")
+    assert(r(2L) == ((8L, 8L, "")),
+      "a document that IS a benchmark doc rewrites to empty")
+    assert(r(3L)._2 == 0L, "clean documents rewrite to themselves")
+  }
+
+  test("decontamRemoval: overlapping leaked grams merge into one cut") {
+    // a 10-token leaked run = three overlapping 8-grams -> one interval
+    val run10 = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    val r = TextOps.decontamRemoval(
+      docs(1L -> s"head $run10 tail"), docs(50L -> run10)).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((12L, 10L, "head tail")))
+  }
 }
