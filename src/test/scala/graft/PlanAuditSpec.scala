@@ -504,4 +504,62 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("partial_count"),
       s"in-link counts must partial-aggregate (hot targets combine map-side):\n$p")
   }
+
+  test("x20 templates: one cached html parse, pruned scan, partial-agg cluster count") {
+    val p = plan("x20_templates")
+    assertNoCartesian(p, "x20")
+    // the (url, host, tpl) projection is CacheOnce'd: the cluster-size
+    // leg and the join-back leg both read the cache, so the html parse
+    // (regexp_extract_all over the decoded payload) runs once
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"the narrow fingerprint projection must be cached:\n$p")
+    assert(p.contains("ReadSchema: struct<url:string,html:binary>"),
+      s"the pages scan must prune to url+html:\n$p")
+    assert(p.contains("partial_count"),
+      s"cluster sizes must partial-aggregate on (host, tpl):\n$p")
+    assert(!p.contains("Generate"),
+      s"the tag array must stay inside the row (no explode):\n$p")
+  }
+
+  test("t33 ccnet buckets: windows run over the value histogram, never the documents") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val qe = SparkEntry.queries("t33_ccnet_buckets")(spark, sf).queryExecution
+    // every Window's subtree must contain the (lang, avg_bp) histogram
+    // Aggregate — a window directly over per-document rows would be the
+    // single-partition-sort-per-language plan this operator exists to
+    // avoid
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty, s"bucket cuts use windows:\n${qe.optimizedPlan}")
+    assert(wins.forall(_.child.collect { case a: Aggregate => a }.nonEmpty),
+      s"every window must sit ABOVE the histogram aggregate:\n${qe.optimizedPlan}")
+    assertNoCartesian(qe.explainString(FormattedMode), "t33")
+  }
+
+  test("e17 MRL funnel: shortlist compiles to WindowGroupLimit, cells join as equi-join") {
+    val p = plan("e17_mrl_rerank")
+    assertNoCartesian(p, "e17")
+    assert(p.contains("WindowGroupLimit"),
+      s"the per-query shortlist must run as a partial top-k below the exchange:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"probe×home must be a cell equi-join:\n$p")
+  }
+
+  test("t34 decontam rewrite: benchmark grams broadcast, corpus side never shuffles wide") {
+    val p = plan("t34_decontam_rewrite")
+    assertNoCartesian(p, "t34")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the benchmark gram set must broadcast:\n$p")
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,source:string,text"),
+      "corpus scan must prune to the used columns")
+  }
+
+  test("g10 hits: per-half-step edge joins are shuffle_hash equi-joins with partial aggregation") {
+    val p = plan("g10_hits")
+    assertNoCartesian(p, "g10")
+    // the returned frame is the materialized (node, auth, hub) cache —
+    // iterations already ran; assert the final assembly reads the cache
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
+      s"hits must hand out the materialized result, not a replan:\n$p")
+  }
 }
