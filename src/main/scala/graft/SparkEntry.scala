@@ -270,6 +270,14 @@ object SparkEntry {
     "t34_decontam_rewrite" -> ((s, d) =>
       TextOps.decontamRemoval(docs(s, d),
         docs(s, d).filter(col("doc_id") % 97 === 0))),
+    // exact-quota deterministic stratified sample per language: seeded-
+    // hash rank inside the stratum, rn <= quota filter Spark runs as a
+    // WindowGroupLimit (bounded per-task top-k before the exchange)
+    "t35_stratified_sample" -> ((s, d) =>
+      TextOps.stratifiedSample(docs(s, d), strataCol = "lang", quota = 12)),
+    // per-language corpus datasheet: docs / token mass / exact-dup rate /
+    // length envelope — the snapshot health card; one combine per lang key
+    "d2_corpus_card" -> ((s, d) => TextOps.corpusCard(docs(s, d))),
     // incremental ingest dedup: the nightly-batch shape — new docs
     // (doc_id % 3 != 0) deduped within the batch and anti-joined
     // against the committed corpus (doc_id % 3 == 0) by text hash
@@ -487,6 +495,29 @@ object SparkEntry {
           length(col("decorated")) - length(col("repaired")))
     }),
 
+    // ---- invisible-character sanitization: the corpus is clean by
+    // construction, so the query decorates deterministically (C0
+    // controls, DEL, ZWSP/BOM/soft-hyphen by doc length class) and the
+    // op strips them back out — counts per class + cleaned-text md5
+    // verify the rewrite itself. Per-row projection, no exchange. -------
+    "x22_sanitize" -> ((s, d) => {
+      val t = col("text")
+      // decorations written as unicode escapes on purpose (the
+      // characters are invisible): SOH/BEL/STX/DEL exercise the control
+      // class, ZWSP/
+      // ZWNJ/ZWJ/BOM/SHY the zero-width class; the mid-word soft hyphen
+      // checks interior (not just affix) removal
+      val decorated = when(length(t) % 4 === 0,
+          concat(lit("\u0001\u200B"), t, lit("\u0007")))
+        .when(length(t) % 4 === 1,
+          concat(t, lit("\uFEFF\u00AD bre\u00ADak")))
+        .when(length(t) % 4 === 2,
+          concat(lit("\u007F"), t, lit("\u200C\u200D\u0002")))
+        .otherwise(t)
+      TextOps.sanitizeSignals(
+        docs(s, d).select(col("doc_id"), decorated.as("text")))
+    }),
+
     // ---- robots-style URL exclusion (crawl gate): host equi-join against
     // a per-host prefix-rule table, longest-match wins, allow wins ties.
     // The rule table is synthesized deterministically from the corpus's
@@ -613,6 +644,12 @@ object SparkEntry {
     // under any partitioning; same per-iteration plan skeleton as g3
     "g10_hits" -> ((s, d) =>
       GraphOps.hits(s, GraphOps.edges(pagesDf(s, d)), iterations = HitsIters)),
+
+    // reciprocal host-pair links (link-exchange signal): directed host-
+    // pair counts self-joined on the flipped key; edge extraction runs
+    // once under a CacheOnce'd aggregate
+    "g11_reciprocal" -> ((s, d) =>
+      GraphOps.reciprocalHosts(GraphOps.edges(pagesDf(s, d)))),
 
     // ---- similarity search (embeddings table) ---------------------------
     "e1_knn_exact" -> ((s, d) => Ann.cosineKnn(emb(s, d), k = 5)),
@@ -1437,6 +1474,26 @@ object SparkEntry {
                CAST(sum(octet_length(html)) AS BIGINT) AS html_bytes,
                CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
              FROM $pages GROUP BY 1"""),
+      "d2_corpus_card" ->
+        (s"""WITH b AS (SELECT lang, CAST(length($tok) AS BIGINT) AS nt,
+                 md5(text) AS h
+               FROM documents)
+             SELECT lang, count(*) AS docs,
+               CAST(sum(nt) AS BIGINT) AS tokens,
+               CAST(count(DISTINCT h) AS BIGINT) AS distinct_texts,
+               max(nt) AS max_tokens,
+               CAST(sum(nt) // count(*) AS BIGINT) AS avg_tokens,
+               (1000 * (count(*) - count(DISTINCT h))) // count(*)
+                 AS dup_permille
+             FROM b GROUP BY lang"""),
+      "t35_stratified_sample" ->
+        (s"""SELECT doc_id, stratum, rn FROM (
+               SELECT doc_id, lang AS stratum,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY ${h60("'sample:' || CAST(doc_id AS VARCHAR)")},
+                     doc_id) AS rn
+               FROM documents)
+             WHERE rn <= 12"""),
       "x8_span_dedup" ->
         (s"""WITH sp AS (
                SELECT s.url,
@@ -1641,6 +1698,34 @@ object SparkEntry {
                length(decorated) - length(repaired) AS chars_fixed
              FROM r"""
       },
+      // decoration replay via chr(): SOH=1 BEL=7 STX=2 DEL=127,
+      // ZWSP=8203 ZWNJ=8204 ZWJ=8205 BOM=65279 SHY=173. DuckDB
+      // regexp_replace is first-match-only without the 'g' flag (Spark's
+      // is always global), hence the explicit flag on every replace.
+      "x22_sanitize" -> {
+        val ctrlRe = """[\x00-\x08\x0B\x0C\x0E-\x1F\x7F]"""
+        val zwRe = """[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]"""
+        s"""WITH dd AS (SELECT doc_id,
+               CASE CAST(length(text) % 4 AS INT)
+                 WHEN 0 THEN chr(1) || chr(8203) || text || chr(7)
+                 WHEN 1 THEN text || chr(65279) || chr(173)
+                   || ' bre' || chr(173) || 'ak'
+                 WHEN 2 THEN chr(127) || text
+                   || chr(8204) || chr(8205) || chr(2)
+                 ELSE text END AS text
+             FROM documents),
+             r AS (SELECT doc_id, text,
+               regexp_replace(text, '$ctrlRe', '', 'g') AS noctrl,
+               regexp_replace(text, '$zwRe', '', 'g') AS nozw
+             FROM dd)
+             SELECT doc_id,
+               length(text) - length(noctrl) AS n_ctrl,
+               length(text) - length(nozw) AS n_zw,
+               length(regexp_replace(noctrl, '$zwRe', '', 'g'))
+                 AS clean_chars,
+               md5(regexp_replace(noctrl, '$zwRe', '', 'g')) AS clean_md5
+             FROM r"""
+      },
       "x16_url_canon" ->
         (s"""WITH d AS (
                SELECT url,
@@ -1697,6 +1782,18 @@ object SparkEntry {
       "g3_pagerank" -> pagerankSelect,
       "g9_trustrank" -> trustrankSelect,
       "g10_hits" -> hitsSelect,
+      "g11_reciprocal" ->
+        (s"""WITH ed AS ($edgeSql),
+             hp AS (SELECT a, b, count(*) AS n FROM (
+                      SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS a,
+                        regexp_extract(target, '^[a-z]+://([^/]+)', 1) AS b
+                      FROM ed)
+                    WHERE a <> b AND a <> '' AND b <> ''
+                    GROUP BY 1, 2)
+             SELECT f.a AS host1, f.b AS host2, f.n AS links_fwd,
+               r.n AS links_rev, least(f.n, r.n) AS reciprocity
+             FROM hp f JOIN hp r ON f.a = r.b AND f.b = r.a
+             WHERE f.a < f.b"""),
       "g4_host_components" ->
         // recursive reachability over the cross-host edge set — the
         // unique fixpoint the Spark-side min-label propagation reaches

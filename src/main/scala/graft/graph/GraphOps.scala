@@ -58,6 +58,35 @@ object GraphOps {
         countDistinct(col("src")).as("n_src_pages"),
         countDistinct(col("target")).as("n_targets"))
 
+  /** Reciprocal host-pair links — the link-exchange / link-farm signal
+    * (two hosts linking each OTHER is the classic collusion prior spam
+    * filters feed on; TrustRank's seed demotion and the quality head
+    * both want it as a feature). One row per unordered host pair with
+    * both directed counts and their min (the reciprocity strength).
+    *
+    * Scale shape: the page-level edge list first collapses to directed
+    * host-pair counts (one partial-aggregated exchange on the narrow
+    * pair key — map-side combine bounds a hot pair to one row per
+    * task), and only that aggregate — ≤ |hosts|² rows but in practice
+    * the observed pair set, orders of magnitude smaller than the edge
+    * list — self-joins on the flipped key. The aggregate is CacheOnce'd
+    * so the expensive edge extraction under it runs once, not once per
+    * join leg, and the blocks release with the consuming action.
+    */
+  def reciprocalHosts(edges: DataFrame): DataFrame = {
+    val hp = graft.util.CacheOnce(edges
+      .select(hostOf(col("src")).as("a"), hostOf(col("target")).as("b"))
+      .where(col("a") =!= col("b") && col("a") =!= "" && col("b") =!= "")
+      .groupBy("a", "b").agg(count(lit(1)).as("n")))
+    val fwd = hp.where(col("a") < col("b"))
+    val rev = hp.where(col("a") > col("b"))
+      .select(col("b").as("a"), col("a").as("b"), col("n").as("n_rev"))
+    fwd.join(rev, Seq("a", "b"))
+      .select(col("a").as("host1"), col("b").as("host2"),
+        col("n").as("links_fwd"), col("n_rev").as("links_rev"),
+        least(col("n"), col("n_rev")).as("reciprocity"))
+  }
+
   /** Per-target anchor-text signal — the classic link-text relevance
     * feature (anchor text describes the TARGET page; at corpus scale it
     * is training-data gold for retrieval / ranking): for every link

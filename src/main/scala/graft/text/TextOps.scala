@@ -1231,4 +1231,80 @@ object TextOps {
       .select(col("doc_id"), col("n_feats"), col("sum_bp"),
         expr("sum_bp div n_feats").as("avg_bp"))
   }
+
+  /** Deterministic exact-quota stratified sample: per stratum (language,
+    * tier, source, …) keep EXACTLY `min(quota, |stratum|)` documents,
+    * chosen by seeded-hash order — the curation step that turns "10M
+    * pages per language" into a balanced eval/seed set, reproducible
+    * across runs and engines (no rand(), no input-order dependence).
+    *
+    * Scale shape: the rank is `row_number` over (hash, doc_id) within
+    * the stratum, consumed by a `rn <= quota` filter — Spark rewrites
+    * that pair as a WindowGroupLimit, which keeps a bounded top-`quota`
+    * heap per task BEFORE the exchange, so a billion-row stratum ships
+    * ~quota·tasks rows to its reducer instead of a billion (asserted in
+    * the plan audit). The hash salt makes the order independent of any
+    * upstream sort; ties are impossible (doc_id is in the key).
+    */
+  def stratifiedSample(docs: DataFrame, strataCol: String = "lang",
+                       quota: Int = 12, seed: String = "sample"): DataFrame = {
+    require(quota >= 1, s"need quota >= 1, got $quota")
+    val rk = md5Hash60(concat(lit(s"$seed:"), col("doc_id")))
+    docs.select(col("doc_id"), col(strataCol).as("stratum"), rk.as("rk"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("stratum")).orderBy(col("rk"), col("doc_id"))))
+      .where(col("rn") <= quota)
+      .select(col("doc_id"), col("stratum"), col("rn"))
+  }
+
+  /** Invisible-character sanitization — the byte-hygiene pass a webtext
+    * corpus needs before tokenization: strip C0 control characters
+    * (except \t \n \r, which are legitimate whitespace) + DEL, and the
+    * zero-width/layout codepoints that survive HTML extraction
+    * (ZWSP/ZWNJ/ZWJ, BOM-as-ZWNBSP, soft hyphen). Outputs per-class
+    * removal counts (independent signals over the ORIGINAL text), the
+    * cleaned length, and the md5 of the cleaned text so the oracle
+    * verifies the REWRITE, not just the counts, without shipping the
+    * text twice. Both character classes are RE2-safe (`\x{…}` escapes,
+    * no shorthand like \p{Cf} whose membership tables could drift
+    * between engines), so Java regex and DuckDB agree match-for-match.
+    * Per-row projection: no shuffle, codegen'd, corpus-scale-free.
+    */
+  def sanitizeSignals(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val ctrl = "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+    val zw = "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}\\x{00AD}]"
+    val t = col(textCol)
+    val clean = regexp_replace(regexp_replace(t, ctrl, ""), zw, "")
+    docs.select(col("doc_id"),
+      (length(t) - length(regexp_replace(t, ctrl, ""))).as("n_ctrl"),
+      (length(t) - length(regexp_replace(t, zw, ""))).as("n_zw"),
+      length(clean).as("clean_chars"),
+      md5(clean).as("clean_md5"))
+  }
+
+  /** Corpus datasheet rollup — the per-language health card a curation
+    * run publishes next to the corpus (docs, token volume, exact-dup
+    * rate, length envelope): the aggregate a 100 TB pipeline computes
+    * ONCE per snapshot to catch ingest regressions (a language's dup
+    * rate doubling, token mass collapsing) before training ever sees
+    * the data. One pruned scan → per-row codegen'd (token count, text
+    * md5) projection → single partial-aggregated groupBy on the
+    * low-cardinality language key; the distinct-hash count expands to
+    * the standard two-phase partial-distinct plan, so hot languages
+    * combine map-side and no text ever shuffles (16-byte hashes do).
+    * All derived ratios are integer floor-divisions (per-mille for the
+    * dup rate) so the oracle replays bit-exactly.
+    */
+  def corpusCard(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), size(tokens(col("text"))).as("nt"),
+        md5(col("text")).as("h"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("nt")).as("tokens"),
+        countDistinct(col("h")).as("distinct_texts"),
+        max(col("nt")).as("max_tokens"))
+      .select(col("lang"), col("docs"), col("tokens"), col("distinct_texts"),
+        col("max_tokens"),
+        expr("tokens div docs").as("avg_tokens"),
+        expr("(1000 * (docs - distinct_texts)) div docs").as("dup_permille"))
 }

@@ -562,4 +562,46 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"),
       s"hits must hand out the materialized result, not a replan:\n$p")
   }
+
+  test("t35 stratified sample: rank filter compiles to WindowGroupLimit") {
+    val p = plan("t35_stratified_sample")
+    assertNoCartesian(p, "t35")
+    assert(p.contains("WindowGroupLimit"),
+      s"quota filter must push a bounded per-task top-k below the exchange:\n$p")
+  }
+
+  test("x22 sanitize: per-row projection, zero exchanges") {
+    val p = plan("x22_sanitize")
+    assert(!p.toLowerCase.contains("exchange"),
+      s"sanitization must stay a per-row projection (no shuffle at any corpus size):\n$p")
+  }
+
+  test("d2 corpus card: one partial-aggregated exchange on lang; text never shuffles") {
+    val p = plan("d2_corpus_card")
+    assertNoCartesian(p, "d2")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"the lang rollup must combine map-side:\n$p")
+    // distinct-hash expansion shuffles the 32-hex md5, never the text
+    assert(!p.contains("Exchange hashpartitioning(text"),
+      s"document text must not be a shuffle key:\n$p")
+  }
+
+  test("g11 reciprocal: flipped-key self-join reads the cached pair aggregate on both legs") {
+    spark.catalog.clearCache()
+    val qe = SparkEntry.queries("g11_reciprocal")(spark, sf).queryExecution
+    val p = qe.explainString(FormattedMode)
+    assertNoCartesian(p, "g11")
+    val caches = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.size == 2,
+      s"both join legs must read the CacheOnce'd host-pair aggregate:\n${qe.optimizedPlan}")
+    val rawExtraction = qe.optimizedPlan.collect {
+      case n if n.nodeName.contains("MapPartitions") ||
+        n.nodeName.contains("SerializeFromObject") => n
+    }
+    assert(rawExtraction.isEmpty,
+      s"the edge extraction must live only inside the cached relation:\n${qe.optimizedPlan}")
+    spark.catalog.clearCache()
+  }
 }

@@ -373,4 +373,29 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       Thread.sleep(100)
     assert(cached == 0, "hits left persisted RDDs behind")
   }
+
+  test("reciprocalHosts: mutual pairs only, unordered, counts per direction") {
+    // A->B 3 links, B->A 1 (reciprocal); A->C 2, no C->A (one-way);
+    // D self-links only (excluded); one schemeless/empty host is dropped
+    val e = edgeDf(Seq(
+      ("https://a.org/1", "https://b.org/x"),
+      ("https://a.org/1", "https://b.org/y"),
+      ("https://a.org/2", "https://b.org/x"),
+      ("https://b.org/1", "https://a.org/z"),
+      ("https://a.org/1", "https://c.org/x"),
+      ("https://a.org/2", "https://c.org/x"),
+      ("https://d.org/1", "https://d.org/2"),
+      ("nohost", "https://a.org/1")))
+    val got = GraphOps.reciprocalHosts(e).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("a.org", "b.org", 3L, 1L, 1L)),
+      s"exactly the mutual pair, host1 < host2: ${got.toSeq}")
+    // cache self-release (the pair aggregate is CacheOnce'd)
+    val deadline = System.currentTimeMillis() + 10000
+    def cached = spark.sparkContext.getPersistentRDDs.size
+    while (cached > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    assert(cached == 0, "reciprocalHosts left persisted RDDs behind")
+  }
 }

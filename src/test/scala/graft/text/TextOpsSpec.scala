@@ -786,4 +786,75 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
     assert(r(1L) == ((12L, 10L, "head tail")))
   }
+
+  private def stratDocs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (id, lang) => (id, s"text $id", lang) }
+      .toDF("doc_id", "text", "lang")
+  }
+
+  test("stratifiedSample: exact quota per stratum, small strata kept whole") {
+    val d = stratDocs((1L to 20L).map(i => i -> "en") ++
+      Seq(100L -> "de", 101L -> "de", 200L -> "fr"): _*)
+    val got = TextOps.stratifiedSample(d, quota = 5).collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getInt(2)))
+    val byStratum = got.groupBy(_._1)
+    assert(byStratum("en").length == 5, "big stratum clipped to the quota")
+    assert(byStratum("de").map(_._2).toSet == Set(100L, 101L),
+      "stratum under quota is kept whole")
+    assert(byStratum("fr").map(_._2).toSet == Set(200L))
+    got.groupBy(_._1).foreach { case (st, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length),
+        s"ranks in $st must be dense 1..n")
+    }
+  }
+
+  test("stratifiedSample is deterministic: input order and partitioning never change membership") {
+    val d = stratDocs((1L to 50L).map(i => i -> (if (i % 2 == 0) "en" else "de")): _*)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      TextOps.stratifiedSample(df, quota = 7).collect()
+        .map(r => (r.getString(1), r.getLong(0))).toSet
+    val a = ids(d)
+    assert(a == ids(d.orderBy(col("doc_id").desc)), "order-independent")
+    assert(a == ids(d.repartition(13)), "partitioning-independent")
+    assert(a.count(_._1 == "en") == 7 && a.count(_._1 == "de") == 7)
+  }
+
+  test("sanitizeSignals strips exactly the control + zero-width classes, keeps \\t\\n\\r") {
+    val d = docs(
+      1L -> "plain text stays",
+      2L -> "a\u0001b\u0007c\u007Fd", // SOH/BEL/DEL: 3 control hits
+      3L -> "x\u200By\uFEFFz\u00ADw", // ZWSP/BOM/SHY: 3 zero-width hits
+      4L -> "keep\tthese\nwhitespace\rchars",      // legitimate whitespace
+      5L -> "mi\u0002xed\u200C end")
+    val r = TextOps.sanitizeSignals(d).collect()
+      .map(x => x.getLong(0) ->
+        ((x.getInt(1), x.getInt(2), x.getInt(3)))).toMap
+    assert(r(1L) == ((0, 0, 16)))
+    assert(r(2L) == ((3, 0, 4)), "SOH/BEL/DEL removed, letters kept")
+    assert(r(3L) == ((0, 3, 4)), "ZWSP/BOM/SHY removed")
+    assert(r(4L) == ((0, 0, 27)), "tab/newline/CR are NOT control hits")
+    assert(r(5L) == ((1, 1, 9)))
+    // the rewrite itself: cleaned md5 equals md5 of the expected string
+    val m = TextOps.sanitizeSignals(d).collect()
+      .map(x => x.getLong(0) -> x.getString(4)).toMap
+    assert(m(2L) == java.security.MessageDigest.getInstance("MD5")
+      .digest("abcd".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+  }
+
+  test("corpusCard: per-lang docs/tokens/dup-rate rollup, integer-exact") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (1L, "a b c", "en"), (2L, "a b c", "en"), (3L, "d e", "en"),
+      (4L, "one two three four", "de")).toDF("doc_id", "text", "lang")
+    val r = TextOps.corpusCard(d).collect().map(x => x.getString(0) ->
+      ((x.getLong(1), x.getLong(2), x.getLong(3), x.getInt(4),
+        x.getLong(5), x.getLong(6)))).toMap
+    // en: 3 docs, 8 tokens, 2 distinct texts, max 3, avg 8 div 3 = 2,
+    // dup rate 1000*(3-2) div 3 = 333 permille
+    assert(r("en") == ((3L, 8L, 2L, 3, 2L, 333L)))
+    assert(r("de") == ((1L, 4L, 1L, 4, 4L, 0L)))
+  }
 }
