@@ -373,6 +373,32 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // final-batch curation ops (t35/d2/x22 over documents, g11 over the
+    // pages link graph) — outside the frozen headline total. g11
+    // best-of-2 for the same Outlinks JIT ramp as g1/g10.
+    locally {
+      for ((key, name) <- Seq(
+          "t35_stratified_sample" -> "t35_stratified_sample",
+          "d2_corpus_card" -> "d2_corpus_card",
+          "x22_sanitize" -> "x22_sanitize")) {
+        val (_, sec) = time {
+          SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+        }
+        extras += key -> f"$sec%.3f"
+        spark.catalog.clearCache()
+      }
+      val g11Sec = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          SparkEntry.queries("g11_reciprocal")(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+        }
+        spark.catalog.clearCache()
+        sec
+      }.min
+      extras += "g11_reciprocal" -> f"$g11Sec%.3f"
+    }
+
     // O(n²) baseline, reported separately — runs BEFORE the tier job so
     // it is the host-state control for the state the headline queries
     // actually measured in

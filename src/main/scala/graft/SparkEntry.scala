@@ -258,6 +258,12 @@ object SparkEntry {
     "t21_neardup_keepers" -> ((s, d) =>
       graft.sim.Components.keepers(s, docs(s, d).select("doc_id"),
         TextOps.minhashPairs(docs(s, d)))),
+    // leakage-safe split: hash-split by the near-dup CLUSTER label so a
+    // duplicate pair can never straddle train/test; pure projection on
+    // top of the t21 component frame
+    "t36_leaksafe_split" -> ((s, d) =>
+      TextOps.clusterSplit(graft.sim.Components.keepers(s,
+        docs(s, d).select("doc_id"), TextOps.minhashPairs(docs(s, d))))),
     // benchmark decontamination: corpus 8-gram positions that leak an
     // eval set (here a deterministic 1/97 slice standing in for the
     // benchmark; the real benchmark table is equally tiny → broadcast)
@@ -992,6 +998,31 @@ object SparkEntry {
       (s"SELECT doc_id, " +
        (0 until 8).map(i => s"min(${h60(s"'$i:' || s")}) AS h$i").mkString(", ") +
        s" FROM $shingles GROUP BY doc_id")
+    // recursive reachability over the SAME banded pair derivation as
+    // t11: component(d) = min doc_id reachable — the unique fixpoint the
+    // Spark-side label propagation converges to. Ends in `comp(doc_id,
+    // component)`; shared by t21 (keeper bit) and t36 (cluster split).
+    val keeperCte = {
+      def bucket(b: Int) = (0 until 4)
+        .map(k => s"CAST(h${b * 4 + k} AS VARCHAR)").mkString(" || ',' || ")
+      s"""WITH RECURSIVE sig AS ($minhashSql),
+          banded AS (
+            SELECT doc_id, 0 AS band, md5(${bucket(0)}) AS bucket FROM sig
+            UNION ALL
+            SELECT doc_id, 1 AS band, md5(${bucket(1)}) AS bucket FROM sig),
+          prs AS (
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM banded l JOIN banded r
+              ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+          edges AS (SELECT a AS src, b AS dst FROM prs
+                    UNION ALL SELECT b, a FROM prs),
+          reach AS (
+            SELECT doc_id AS v, doc_id AS r FROM documents
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst),
+          comp AS (SELECT v AS doc_id, min(r) AS component
+                   FROM reach GROUP BY v)"""
+    }
     // integer-exact k-means replay (e10): e8's quantization CTEs, md5
     // "k:" stride seeds, then 2 unrolled Lloyd rounds — floor-mean
     // centroid update (sum // count over non-negative codes == Spark's
@@ -1899,33 +1930,22 @@ object SparkEntry {
             FROM banded l JOIN banded r
               ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id"""
       },
-      "t21_neardup_keepers" -> {
-        // recursive reachability over the SAME banded pair derivation as
-        // t11: component(d) = min doc_id reachable — the unique fixpoint
-        // the Spark-side label propagation converges to
-        def bucket(b: Int) = (0 until 4)
-          .map(k => s"CAST(h${b * 4 + k} AS VARCHAR)").mkString(" || ',' || ")
-        s"""WITH RECURSIVE sig AS ($minhashSql),
-            banded AS (
-              SELECT doc_id, 0 AS band, md5(${bucket(0)}) AS bucket FROM sig
-              UNION ALL
-              SELECT doc_id, 1 AS band, md5(${bucket(1)}) AS bucket FROM sig),
-            prs AS (
-              SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-              FROM banded l JOIN banded r
-                ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-            edges AS (SELECT a AS src, b AS dst FROM prs
-                      UNION ALL SELECT b, a FROM prs),
-            reach AS (
-              SELECT doc_id AS v, doc_id AS r FROM documents
-              UNION
-              SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst),
-            comp AS (SELECT v AS doc_id, min(r) AS component
-                     FROM reach GROUP BY v)
+      "t21_neardup_keepers" ->
+        (s"""$keeperCte
             SELECT doc_id, component,
               (doc_id = component) AS is_keeper
-            FROM comp"""
-      },
+            FROM comp"""),
+      // t21's component frame + the csplit hash on the CLUSTER label —
+      // by construction both engines put a whole cluster on one side
+      "t36_leaksafe_split" ->
+        (s"""$keeperCte
+            SELECT doc_id, component, b AS bucket,
+              CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val'
+                   ELSE 'train' END AS split
+            FROM (SELECT doc_id, component,
+                    ${h60("'csplit:' || CAST(component AS VARCHAR)")} % 100
+                      AS b
+                  FROM comp)"""),
       "t22_decontam" ->
         (s"""WITH pos AS (SELECT doc_id, g FROM ${gramsSql(8)}),
               bg AS (SELECT DISTINCT g, 1 AS hit FROM ${gramsSql(8,

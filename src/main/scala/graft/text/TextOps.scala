@@ -1257,6 +1257,27 @@ object TextOps {
       .select(col("doc_id"), col("stratum"), col("rn"))
   }
 
+  /** Leakage-safe train/val/test assignment: hash-split by the near-dup
+    * CLUSTER label instead of the document id, so every member of a
+    * duplicate cluster lands on the SAME side — the split discipline
+    * that stops eval leakage through near-duplicates ([[hashSplit]]'s
+    * per-doc split would put two 95%-identical documents in train and
+    * test ~10% of the time; Lee et al. 2022 measure the resulting eval
+    * inflation). Input is [[graft.sim.Components.keepers]]' frame
+    * (id, component, is_keeper); this is a pure projection on top — the
+    * component build already paid every shuffle, the split adds none.
+    * Seeded-hash buckets, deterministic across runs and engines.
+    */
+  def clusterSplit(keepers: DataFrame,
+                   valPct: Int = 5, testPct: Int = 5): DataFrame = {
+    val idCol = keepers.columns.head
+    val bucket = md5Hash60(concat(lit("csplit:"), col("component"))) % 100
+    keepers.select(col(idCol), col("component"), bucket.as("bucket"),
+      when(bucket < testPct, "test")
+        .when(bucket < testPct + valPct, "val")
+        .otherwise("train").as("split"))
+  }
+
   /** Invisible-character sanitization — the byte-hygiene pass a webtext
     * corpus needs before tokenization: strip C0 control characters
     * (except \t \n \r, which are legitimate whitespace) + DEL, and the

@@ -843,6 +843,25 @@ class TextOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .digest("abcd".getBytes("UTF-8")).map("%02x".format(_)).mkString)
   }
 
+  test("clusterSplit: a near-dup cluster never straddles the split") {
+    val same = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    val d = docs(1L -> same, 2L -> same, 7L -> same,
+      3L -> "totally unrelated words here now then",
+      4L -> "another quite different document body text")
+    val k = graft.sim.Components.keepers(spark,
+      d.select(col("doc_id")), TextOps.minhashPairs(d))
+    val got = TextOps.clusterSplit(k).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(3)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 7L), "every doc gets a split")
+    assert(got(1L) == got(2L) && got(2L) == got(7L),
+      "all cluster members share component AND split side")
+    assert(got(1L)._1 == 1L, "component = min doc_id of the cluster")
+    // split is a function of the component, so singletons with different
+    // ids may differ but must be one of the three sides
+    assert(got.values.map(_._2).forall(Set("train", "val", "test")))
+    spark.catalog.clearCache()
+  }
+
   test("corpusCard: per-lang docs/tokens/dup-rate rollup, integer-exact") {
     val s = spark
     import s.implicits._
