@@ -380,7 +380,10 @@ object Bench {
       for ((key, name) <- Seq(
           "t35_stratified_sample" -> "t35_stratified_sample",
           "d2_corpus_card" -> "d2_corpus_card",
-          "x22_sanitize" -> "x22_sanitize")) {
+          "x22_sanitize" -> "x22_sanitize",
+          "t37_best_keeper" -> "t37_best_keeper",
+          "t38_containment_pairs" -> "t38_containment_pairs",
+          "d3_vocab" -> "d3_vocab")) {
         val (_, sec) = time {
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()
@@ -397,6 +400,16 @@ object Bench {
         sec
       }.min
       extras += "g11_reciprocal" -> f"$g11Sec%.3f"
+      // g12 best-of-2 for the same Outlinks JIT ramp as g1/g10/g11
+      val g12Sec = (1 to 2).map { _ =>
+        val (_, sec) = time {
+          SparkEntry.queries("g12_lpa_communities")(spark, sfDir)
+            .write.mode("overwrite").format("noop").save()
+        }
+        spark.catalog.clearCache()
+        sec
+      }.min
+      extras += "g12_lpa_communities" -> f"$g12Sec%.3f"
     }
 
     // O(n²) baseline, reported separately — runs BEFORE the tier job so

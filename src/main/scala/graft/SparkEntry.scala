@@ -264,6 +264,17 @@ object SparkEntry {
     "t36_leaksafe_split" -> ((s, d) =>
       TextOps.clusterSplit(graft.sim.Components.keepers(s,
         docs(s, d).select("doc_id"), TextOps.minhashPairs(docs(s, d))))),
+    // quality-aware keeper election: within each t21 cluster keep the
+    // copy with the most distinct tokens (then most tokens, then min
+    // doc_id) — a map-side-combinable struct-max per component, never a
+    // window over the cluster
+    "t37_best_keeper" -> ((s, d) =>
+      TextOps.qualityKeepers(s, docs(s, d), TextOps.minhashPairs(docs(s, d)))),
+    // shingle-containment pairs: the subset-duplicate recall jaccard
+    // misses (B embeds A → inter/min ≈ 1 while inter/union is small);
+    // t7's banded hashed-shingle machinery, different arithmetic
+    "t38_containment_pairs" -> ((s, d) =>
+      TextOps.containmentPairs(docs(s, d))),
     // benchmark decontamination: corpus 8-gram positions that leak an
     // eval set (here a deterministic 1/97 slice standing in for the
     // benchmark; the real benchmark table is equally tiny → broadcast)
@@ -284,6 +295,10 @@ object SparkEntry {
     // per-language corpus datasheet: docs / token mass / exact-dup rate /
     // length envelope — the snapshot health card; one combine per lang key
     "d2_corpus_card" -> ((s, d) => TextOps.corpusCard(docs(s, d))),
+    // corpus vocabulary card: global top-k tokens (TakeOrderedAndProject
+    // partial top-k) + cumulative coverage in basis points over the k
+    // survivors only
+    "d3_vocab" -> ((s, d) => TextOps.vocabCard(docs(s, d))),
     // incremental ingest dedup: the nightly-batch shape — new docs
     // (doc_id % 3 != 0) deduped within the batch and anti-joined
     // against the committed corpus (doc_id % 3 == 0) by text hash
@@ -593,6 +608,12 @@ object SparkEntry {
     // weakly-connected host components via the generic min-label engine
     "g4_host_components" -> ((s, d) =>
       GraphOps.hostComponents(s, GraphOps.edges(pagesDf(s, d)))),
+
+    // label-propagation communities: density clustering on the host
+    // graph (2 synchronous deterministic rounds, min-label ties) — the
+    // granularity g4's connectivity components bridge over
+    "g12_lpa_communities" -> ((s, d) =>
+      GraphOps.lpaCommunities(s, GraphOps.edges(pagesDf(s, d)))),
 
     // host-level link-quality features: one persisted narrow edge list
     // feeds PageRank + the out/in rollups (html parsed once, never
@@ -1517,6 +1538,22 @@ object SparkEntry {
                (1000 * (count(*) - count(DISTINCT h))) // count(*)
                  AS dup_permille
              FROM b GROUP BY lang"""),
+      // global top-100 tokens by count (term-asc ties → deterministic
+      // k-boundary) + ROWS-framed cumulative coverage in basis points
+      "d3_vocab" ->
+        (s"""WITH tf AS (SELECT w AS term, count(*) AS cnt
+                         FROM (SELECT unnest($tok) AS w FROM documents)
+                         GROUP BY 1),
+             tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total_tokens FROM tf),
+             top AS (SELECT term, cnt FROM tf
+                     ORDER BY cnt DESC, term ASC LIMIT 100)
+             SELECT row_number() OVER (ORDER BY cnt DESC, term ASC)
+                 AS vocab_rank,
+               term, cnt, total_tokens,
+               CAST((10000 * sum(cnt) OVER (ORDER BY cnt DESC, term ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+                 // total_tokens AS BIGINT) AS cum_bp
+             FROM top CROSS JOIN tot"""),
       "t35_stratified_sample" ->
         (s"""SELECT doc_id, stratum, rn FROM (
                SELECT doc_id, lang AS stratum,
@@ -1849,6 +1886,42 @@ object SparkEntry {
                       FROM reach GROUP BY v)
              SELECT host, component, (host = component) AS is_keeper
              FROM comp"""),
+      // 2 synchronous LPA rounds unrolled: per round, neighbour-label
+      // counts → per-node max → min winning label, isolated hosts
+      // coalesce to their own label — the Spark chain verbatim
+      "g12_lpa_communities" ->
+        (s"""WITH ed AS ($edgeSql),
+             hp AS (SELECT DISTINCT a, b FROM
+               (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS a,
+                  regexp_extract(target, '^[a-z]+://([^/]+)', 1) AS b
+                FROM ed) WHERE a <> b),
+             und AS (SELECT DISTINCT v, u FROM
+               (SELECT a AS v, b AS u FROM hp
+                UNION ALL SELECT b, a FROM hp)),
+             hosts AS (SELECT DISTINCT host FROM
+               (SELECT regexp_extract(src, '^[a-z]+://([^/]+)', 1) AS host
+                  FROM ed
+                UNION ALL
+                SELECT regexp_extract(target, '^[a-z]+://([^/]+)', 1)
+                  FROM ed)),
+             l0 AS (SELECT host, host AS label FROM hosts),
+             n1 AS (SELECT und.v, l.label, count(*) AS cnt
+                    FROM und JOIN l0 l ON l.host = und.u GROUP BY 1, 2),
+             m1 AS (SELECT v, max(cnt) AS mx FROM n1 GROUP BY 1),
+             w1 AS (SELECT n1.v, min(n1.label) AS label
+                    FROM n1 JOIN m1 ON n1.v = m1.v AND n1.cnt = m1.mx
+                    GROUP BY 1),
+             l1 AS (SELECT hosts.host, coalesce(w1.label, hosts.host) AS label
+                    FROM hosts LEFT JOIN w1 ON w1.v = hosts.host),
+             n2 AS (SELECT und.v, l.label, count(*) AS cnt
+                    FROM und JOIN l1 l ON l.host = und.u GROUP BY 1, 2),
+             m2 AS (SELECT v, max(cnt) AS mx FROM n2 GROUP BY 1),
+             w2 AS (SELECT n2.v, min(n2.label) AS label
+                    FROM n2 JOIN m2 ON n2.v = m2.v AND n2.cnt = m2.mx
+                    GROUP BY 1),
+             l2 AS (SELECT hosts.host, coalesce(w2.label, hosts.host) AS label
+                    FROM hosts LEFT JOIN w2 ON w2.v = hosts.host)
+             SELECT host, label AS community FROM l2"""),
       "g5_host_link_features" ->
         (s"""WITH pr AS ($pagerankSelect),
              ed AS ($edgeSql),
@@ -1946,6 +2019,39 @@ object SparkEntry {
                     ${h60("'csplit:' || CAST(component AS VARCHAR)")} % 100
                       AS b
                   FROM comp)"""),
+      // t21's component frame + the quality projection; the Spark-side
+      // struct-max election replayed as a window rank (same total order:
+      // n_distinct desc, n_tokens desc, doc_id asc)
+      "t37_best_keeper" ->
+        (s"""$keeperCte,
+             q AS (SELECT doc_id,
+                     CAST(length(list_distinct($tok)) AS BIGINT) AS n_distinct,
+                     CAST(length($tok) AS BIGINT) AS n_tokens
+                   FROM documents),
+             scored AS (SELECT c.doc_id, c.component, q.n_distinct, q.n_tokens
+                        FROM comp c JOIN q USING (doc_id)),
+             best AS (SELECT component, doc_id AS keep_id FROM (
+                        SELECT *, row_number() OVER (PARTITION BY component
+                          ORDER BY n_distinct DESC, n_tokens DESC, doc_id ASC)
+                          AS rn FROM scored)
+                      WHERE rn = 1)
+             SELECT s.doc_id, s.component, s.n_distinct, s.n_tokens,
+               b.keep_id, (s.doc_id = b.keep_id) AS is_keeper
+             FROM scored s JOIN best b USING (component)"""),
+      // t7's shingle CTEs with containment arithmetic: inter/min(|A|,|B|)
+      // in floor-division basis points; subset_only = not a 0.3-jaccard
+      // pair
+      "t38_containment_pairs" ->
+        (s"""WITH sh AS (SELECT DISTINCT doc_id, s FROM $shingles),
+             sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+             inter AS (SELECT l.doc_id AS a, r.doc_id AS b, count(*) AS inter
+                       FROM sh l JOIN sh r ON l.s = r.s AND l.doc_id < r.doc_id
+                       GROUP BY 1, 2)
+             SELECT a, b, inter, sa.n + sb.n - inter AS un,
+               (10000 * inter) // least(sa.n, sb.n) AS cont_bp,
+               NOT (inter * 10 >= (sa.n + sb.n - inter) * 3) AS subset_only
+             FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+             WHERE (10000 * inter) // least(sa.n, sb.n) >= 8000"""),
       "t22_decontam" ->
         (s"""WITH pos AS (SELECT doc_id, g FROM ${gramsSql(8)}),
               bg AS (SELECT DISTINCT g, 1 AS hit FROM ${gramsSql(8,

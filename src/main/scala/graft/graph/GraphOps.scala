@@ -130,6 +130,82 @@ object GraphOps {
     graft.sim.Components.keepers(spark, hosts, hostEdges)
   }
 
+  /** Synchronous label-propagation communities over the host graph
+    * (Raghavan et al. 2007) — the DENSITY clustering that complements
+    * [[hostComponents]]' connectivity: a weak bridge edge merges two
+    * components into one, but LPA keeps the two dense link
+    * neighbourhoods (mirror farms, forum rings, syndication cliques)
+    * apart — the granularity a curation head samples/caps by. Fixed
+    * `rounds` of the deterministic rule: every host simultaneously
+    * adopts the most frequent label among its distinct cross-host
+    * neighbours, ties broken by MIN label (binary string order);
+    * isolated hosts keep their own label. No randomised tie-breaks, no
+    * asynchronous order dependence — the result is bit-identical under
+    * any partitioning (spec-asserted) and the oracle unrolls the same
+    * rounds in SQL.
+    *
+    * Scale shape, per round: one equi-join of the undirected adjacency
+    * with the current (host, label) table on the neighbour key, then
+    * THREE map-side-combinable aggregates — (v, label) counts, per-v max
+    * count, min winning label — and a left-join back onto the host
+    * universe. No window over a node's neighbourhood anywhere: a
+    * 10^7-degree hub's votes combine partially within every task before
+    * the exchange, so degree skew never concentrates on one reducer.
+    * The adjacency is hash-clustered on the neighbour key once and
+    * cached (only the narrow label table moves per round); each round's
+    * labels are persisted and materialized before the previous release,
+    * keeping the lineage one round deep — [[pagerank]]'s idiom exactly.
+    */
+  def lpaCommunities(spark: SparkSession, edges: DataFrame,
+                     rounds: Int = 2): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val hp = edges
+      .select(hostOf(col("src")).as("a"), hostOf(col("target")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    // distinct AFTER symmetrization: if the crawl holds both directions
+    // of a pair, the two swap legs would otherwise double a neighbour's
+    // vote (votes are per distinct neighbour host, unweighted)
+    val und = hp.select(col("a").as("v"), col("b").as("u"))
+      .union(hp.select(col("b").as("v"), col("a").as("u")))
+      .distinct()
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    und.count() // materialize before the per-round joins branch off it
+    val hosts = edges
+      .select(hostOf(col("src")).as("host"))
+      .union(edges.select(hostOf(col("target")).as("host")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = hosts.select(col("host"), col("host").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count() // also materializes `hosts` (same job scans it)
+    var it = 0
+    while (it < rounds) {
+      val votes = und
+        .join(cur.select(col("host").as("u"), col("label")), "u")
+        .groupBy(col("v"), col("label")).agg(count(lit(1)).as("cnt"))
+      val top = votes.groupBy("v").agg(max(col("cnt")).as("mx"))
+      val won = votes.join(top, "v")
+        .filter(col("cnt") === col("mx"))
+        .groupBy("v").agg(min(col("label")).as("label"))
+      val next = hosts
+        .join(won.withColumnRenamed("v", "host"), Seq("host"), "left")
+        .select(col("host"), coalesce(col("label"), col("host")).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the labels it reads
+      cur.unpersist()
+      cur = next
+      it += 1
+    }
+    und.unpersist()
+    hosts.unpersist()
+    // persisted + materialized: hand out with a one-shot release so the
+    // caller's first action reads cached blocks and then frees them
+    graft.util.CacheOnce.release(cur)
+      .select(col("host"), col("label").as("community"))
+  }
+
   /** Per-node mass used by [[pagerank]] at iteration 0. 10^12 per node:
     * big enough that 3–5 iterations of 15%/85% integer splits keep ~9
     * significant digits, small enough that the total (n × 10^12) stays

@@ -77,9 +77,13 @@ object Components {
     if (changed > 0)
       throw new IllegalStateException(
         s"connected components did not converge in $maxRounds rounds ($changed labels still changing)")
-    // the final `labels` stays persisted until the caller materializes;
-    // Verify clears persisted intermediates between queries.
-    labels.select(col("v").as("vec_id"), col("label").as("component"))
+    // the final `labels` is already persisted + materialized by the
+    // loop; hand it out with a one-shot release (the caller's first
+    // consuming action reads the cached blocks, then frees them — same
+    // contract as the IVF assignments and pagerank, round-4 cleanup of
+    // the last persist-until-clearCache holdout)
+    graft.util.CacheOnce.release(labels)
+      .select(col("v").as("vec_id"), col("label").as("component"))
   }
 
   /** Components + keeper bit over an arbitrary id universe: every id in

@@ -1328,4 +1328,123 @@ object TextOps {
         col("max_tokens"),
         expr("tokens div docs").as("avg_tokens"),
         expr("(1000 * (docs - distinct_texts)) div docs").as("dup_permille"))
+
+  /** Quality-aware near-dup keeper selection — the production refinement
+    * of [[graft.sim.Components.keepers]]' min-id rule: within each
+    * near-dup cluster keep the COPY WORTH KEEPING (most distinct tokens,
+    * then most tokens, then min doc_id — a crawl usually holds one clean
+    * copy and N truncated/boilerplate-wrapped mirrors of it, and min-id
+    * picks among them blindly). Output: one row per document with its
+    * component, the quality features, the cluster's elected `keep_id`
+    * and the `is_keeper` bit; the corpus shrink is `filter(is_keeper)`.
+    *
+    * Scale shape: the election is a map-side-combinable
+    * `max(struct(n_distinct, n_tokens, -doc_id))` per component — NOT a
+    * window over the cluster, so a pathological million-member template
+    * cluster combines to one candidate row per task before the exchange
+    * and never concentrates on a single reducer. Two narrow shuffles on
+    * the component key (elect + annotate-back); the text column never
+    * moves (features are projected map-side off the pruned scan).
+    * Deterministic and integer-exact: the struct comparison is
+    * lexicographic over Longs, so the result is bit-identical under any
+    * partitioning — the oracle replays the same election with a window
+    * rank over the recursive-reachability component frame. */
+  def qualityKeepers(spark: org.apache.spark.sql.SparkSession,
+                     docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val comp = graft.sim.Components
+      .keepers(spark, docs.select("doc_id"), pairs)
+      .select("doc_id", "component")
+    val q = docs.select(col("doc_id"),
+      size(array_distinct(tokens(col("text")))).cast("long").as("n_distinct"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val scored = comp.join(q, "doc_id")
+    val elected = scored.groupBy("component")
+      .agg(max(struct(col("n_distinct"), col("n_tokens"),
+        (-col("doc_id")).as("neg_id"))).as("best"))
+      .select(col("component"), (-col("best.neg_id")).as("keep_id"))
+    scored.join(elected, "component")
+      .select(col("doc_id"), col("component"), col("n_distinct"),
+        col("n_tokens"), col("keep_id"),
+        (col("doc_id") === col("keep_id")).as("is_keeper"))
+  }
+
+  /** Shingle-containment near-dup pairs — the subset-duplicate detector
+    * Jaccard misses by construction: when page B wholesale-embeds page A
+    * (syndication wrappers, quote-expansion, print views), the
+    * intersection is ~|A| but the union is ~|B|, so Jaccard ≈ |A|/|B|
+    * can sit far below any dedup threshold while containment
+    * inter/min(|A|,|B|) ≈ 1. Emits pairs at `thresholdBp` containment
+    * (basis points, floor division — integer-exact) with the Jaccard
+    * numerator/denominator alongside and `subset_only` marking the
+    * pairs t7's 0.3-Jaccard rule would NOT have caught — the marginal
+    * recall this operator buys.
+    *
+    * Scale shape: identical derivation to [[jaccardPairs]] (distinct
+    * word-3-shingles hashed to 8-byte xxhash64 keys map-side, banded
+    * self-equi-join on the hash, partial-aggregated intersection
+    * counts); the optional `maxDf` guard drops stop-shingles before the
+    * self-join exactly as there. Only the similarity arithmetic and the
+    * emission rule differ, so the 100 TB cost profile is the one t7
+    * already measured. */
+  def containmentPairs(docs: DataFrame, thresholdBp: Long = 8000L,
+                       maxDf: Long = 0L): DataFrame = {
+    val all = docs.select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        explode(array_distinct(gramsOf(col("w"), 3))).as("sg"))
+      .select(col("doc_id"), xxhash64(col("sg")).as("s"))
+    val sh =
+      if (maxDf <= 0) all
+      else {
+        val rare = all.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select("s")
+        all.join(rare, "s")
+      }
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("l").join(sh.as("r"),
+        col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("a"), col("r.doc_id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "na"), "a")
+      .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "nb"), "b")
+      .withColumn("un", col("na") + col("nb") - col("inter"))
+      .withColumn("cont_bp", expr("(10000 * inter) div least(na, nb)"))
+      .filter(col("cont_bp") >= thresholdBp)
+      .withColumn("subset_only", !(col("inter") * 10 >= col("un") * 3))
+      .select(col("a"), col("b"), col("inter"), col("un"),
+        col("cont_bp"), col("subset_only"))
+  }
+
+  /** Corpus vocabulary card — the top-`k` whitespace tokens by corpus
+    * frequency with rank and cumulative coverage in basis points: the
+    * tokenizer-health snapshot a curation run publishes per corpus
+    * build (a boilerplate token entering the top ranks, or head
+    * coverage collapsing, is an ingest regression visible before any
+    * training step; the same table seeds stopword lists and BPE merges).
+    *
+    * Scale shape: one explode → partial-aggregated groupBy builds the
+    * term-frequency table (hot tokens combine map-side); the global
+    * top-k resolves as `TakeOrderedAndProject` — every task keeps only
+    * its k best rows, so the sort never materializes the vocabulary.
+    * The total-token count is a one-row aggregate broadcast into the
+    * projection, and the rank/cumulative window runs over the k
+    * surviving rows only (k ≈ 100 — driver-sized by construction, NOT a
+    * corpus-sized window). Coverage is floor-division basis points so
+    * the oracle replays bit-exactly; ties order by term ascending, so
+    * the k-boundary is deterministic. */
+  def vocabCard(docs: DataFrame, k: Int = 100): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("total_tokens"))
+    val top = tf.orderBy(col("cnt").desc, col("term").asc).limit(k)
+    val ord = Window.orderBy(col("cnt").desc, col("term").asc)
+    val cum = Window.orderBy(col("cnt").desc, col("term").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top.crossJoin(broadcast(total))
+      .withColumn("vocab_rank", row_number().over(ord).cast("long"))
+      .withColumn("cum_cnt", sum(col("cnt")).over(cum))
+      .select(col("vocab_rank"), col("term"), col("cnt"),
+        col("total_tokens"),
+        expr("(10000 * cum_cnt) div total_tokens").as("cum_bp"))
+  }
 }

@@ -604,4 +604,56 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the edge extraction must live only inside the cached relation:\n${qe.optimizedPlan}")
     spark.catalog.clearCache()
   }
+
+  test("t37 best keeper: struct-max election, no window over the cluster") {
+    spark.catalog.clearCache()
+    val p = plan("t37_best_keeper")
+    assertNoCartesian(p, "t37")
+    // the election must be a map-side-combinable aggregate, NOT a window
+    // partitioned by component (a template cluster can hold 10^6 docs)
+    assert(!p.contains("Window"),
+      s"keeper election must not plan a window over the cluster:\n$p")
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"the struct-max election must combine map-side:\n$p")
+    spark.catalog.clearCache()
+  }
+
+  test("t38 containment pairs: hashed-shingle equi-join, no cartesian") {
+    val p = plan("t38_containment_pairs")
+    assertNoCartesian(p, "t38")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"the shingle self-join must be an equi-join on the hash:\n$p")
+    assert(p.contains("xxhash64"),
+      s"shingle strings must hash to 8-byte keys before the join:\n$p")
+  }
+
+  test("d3 vocab: global top-k resolves as TakeOrderedAndProject, window only over the k survivors") {
+    val p = plan("d3_vocab")
+    assertNoCartesian(p, "d3")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the vocabulary top-k must be a partial per-task top-k, never a full sort:\n$p")
+  }
+
+  test("g12 lpa: final labels read from the materialized cache; no window anywhere") {
+    spark.catalog.clearCache()
+    val qe = SparkEntry.queries("g12_lpa_communities")(spark, sf).queryExecution
+    val p = qe.explainString(FormattedMode)
+    assertNoCartesian(p, "g12")
+    assert(!p.contains("Window"),
+      s"the vote election must be aggregate-based (degree-skew-proof), not a window:\n$p")
+    val caches = qe.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(caches.nonEmpty,
+      s"the handed-out labels must read the persisted final round:\n${qe.optimizedPlan}")
+    // one round's DAG: adjacency joins labels as an equi-join, votes
+    // combine map-side (no window over a node's neighbourhood)
+    val e = graft.graph.GraphOps.edges(spark.read.parquet(
+      graft.pages.PagesTable.ensure(spark, "sf0.001")))
+    val round = graft.graph.GraphOps.lpaCommunities(spark, e, rounds = 1)
+      .queryExecution.explainString(FormattedMode)
+    assert(!round.contains("Window") && !round.contains("CartesianProduct"),
+      s"per-round vote plan must stay window-free:\n$round")
+    spark.catalog.clearCache()
+  }
 }
