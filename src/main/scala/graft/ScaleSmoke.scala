@@ -95,6 +95,20 @@ object ScaleSmoke {
       spark.catalog.clearCache()
     }
 
+    if (mode.contains("lpa")) {
+      // round-final graph addition at 10× the bench SF: 2 synchronous
+      // LPA rounds over the host graph (edge parse + per-round
+      // aggregate chain); host count reconciles the run
+      val (nHosts, lpaSec) = time {
+        graft.graph.GraphOps.lpaCommunities(spark,
+          graft.graph.GraphOps.edges(spark.read.parquet(pagesPath))).count()
+      }
+      out += "lpa_sec" -> f"$lpaSec%.1f"
+      out += "lpa_docs_per_sec" -> f"${nDocs / lpaSec}%.1f"
+      out += "lpa_hosts" -> nHosts.toString
+      spark.catalog.clearCache()
+    }
+
     // output-file hygiene at scale: the extracted table must not be a
     // small-file blowup (one file per task wave is fine, thousands are not)
     val extractedFiles = {

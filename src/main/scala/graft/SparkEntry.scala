@@ -299,6 +299,16 @@ object SparkEntry {
     // partial top-k) + cumulative coverage in basis points over the k
     // survivors only
     "d3_vocab" -> ((s, d) => TextOps.vocabCard(docs(s, d))),
+    // snapshot-over-snapshot datasheet diff: prev = the full corpus,
+    // cur = a deterministic regression (1/3 of docs dropped, the %7
+    // slice double-ingested) so the drop + dup-spike alerts exercise
+    "d4_snapshot_diff" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.corpusCardDiff(
+        TextOps.corpusCard(all),
+        TextOps.corpusCard(all.filter(col("doc_id") % 3 =!= 0)
+          .unionAll(all.filter(col("doc_id") % 7 === 0))))
+    }),
     // incremental ingest dedup: the nightly-batch shape — new docs
     // (doc_id % 3 != 0) deduped within the batch and anti-joined
     // against the committed corpus (doc_id % 3 == 0) by text hash
@@ -1538,6 +1548,42 @@ object SparkEntry {
                (1000 * (count(*) - count(DISTINCT h))) // count(*)
                  AS dup_permille
              FROM b GROUP BY lang"""),
+      // d2's card replayed over both snapshots + the diff arithmetic;
+      // greatest(prev,1) guards the new-language division
+      "d4_snapshot_diff" ->
+        (s"""WITH bp AS (SELECT lang, CAST(length($tok) AS BIGINT) AS nt,
+                 md5(text) AS h FROM documents),
+             cardp AS (SELECT lang, count(*) AS docs,
+                 CAST(sum(nt) AS BIGINT) AS tokens,
+                 (1000 * (count(*) - count(DISTINCT h))) // count(*) AS dup
+               FROM bp GROUP BY lang),
+             curdocs AS (SELECT * FROM documents WHERE doc_id % 3 <> 0
+                         UNION ALL
+                         SELECT * FROM documents WHERE doc_id % 7 = 0),
+             bc AS (SELECT lang, CAST(length($tok) AS BIGINT) AS nt,
+                 md5(text) AS h FROM curdocs),
+             cardc AS (SELECT lang, count(*) AS docs,
+                 CAST(sum(nt) AS BIGINT) AS tokens,
+                 (1000 * (count(*) - count(DISTINCT h))) // count(*) AS dup
+               FROM bc GROUP BY lang)
+             SELECT lang,
+               coalesce(p.docs, 0) AS docs_prev,
+               coalesce(c.docs, 0) AS docs_cur,
+               coalesce(p.tokens, 0) AS tokens_prev,
+               coalesce(c.tokens, 0) AS tokens_cur,
+               coalesce(p.dup, 0) AS dup_prev,
+               coalesce(c.dup, 0) AS dup_cur,
+               (10000 * (coalesce(c.docs, 0) - coalesce(p.docs, 0)))
+                 // greatest(coalesce(p.docs, 0), 1) AS docs_delta_bp,
+               (10000 * (coalesce(c.tokens, 0) - coalesce(p.tokens, 0)))
+                 // greatest(coalesce(p.tokens, 0), 1) AS tokens_delta_bp,
+               coalesce(c.docs, 0) * 10 < coalesce(p.docs, 0) * 8
+                 AS alert_docs_drop,
+               (coalesce(c.dup, 0) >= coalesce(p.dup, 0) * 2
+                 AND coalesce(c.dup, 0) >= 10) AS alert_dup_spike,
+               coalesce(p.docs, 0) = 0 AS alert_new_lang,
+               coalesce(c.docs, 0) = 0 AS alert_gone_lang
+             FROM cardp p FULL OUTER JOIN cardc c USING (lang)"""),
       // global top-100 tokens by count (term-asc ties → deterministic
       // k-boundary) + ROWS-framed cumulative coverage in basis points
       "d3_vocab" ->

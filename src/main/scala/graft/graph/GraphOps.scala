@@ -189,9 +189,15 @@ object GraphOps {
       val won = votes.join(top, "v")
         .filter(col("cnt") === col("mx"))
         .groupBy("v").agg(min(col("label")).as("label"))
-      val next = hosts
+      // re-rooted as a fresh plan leaf (the Components/hits idiom): the
+      // vote chain references `votes` twice (max leg + winner join), so
+      // without re-rooting each round's analyzed plan embeds the
+      // previous one multiple times and driver-side plan work grows
+      // geometrically with `rounds`
+      val nextPlan = hosts
         .join(won.withColumnRenamed("v", "host"), Seq("host"), "left")
         .select(col("host"), coalesce(col("label"), col("host")).as("label"))
+      val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the labels it reads
       cur.unpersist()
@@ -448,10 +454,18 @@ object GraphOps {
     def renorm(raw0: DataFrame, valCol: String): DataFrame = {
       val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
       val tot = raw.agg(coalesce(sum(col(valCol)), lit(0L)).as("tot"))
-      val out = raw.crossJoin(broadcast(tot))
+      // re-root the materialized result as a fresh plan leaf (the
+      // Components idiom): the crossJoin references `raw` on BOTH legs,
+      // so without re-rooting every half-step's analyzed plan embeds the
+      // previous one TWICE and Catalyst's analysis/optimization time
+      // grows geometrically — measured 340 s for 2 iterations at sf0.1
+      // on an already-cached edge list, vs ~8 s re-rooted (the data work
+      // per half-step is ~2 s; the rest was the optimizer)
+      val outPlan = raw.crossJoin(broadcast(tot))
         .select(col("node"),
           expr(s"$valCol div greatest(1L, tot div ${n}L div ${initMass}L)")
             .as(valCol))
+      val out = spark.createDataFrame(outPlan.rdd, outPlan.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       out.count()
       raw.unpersist()

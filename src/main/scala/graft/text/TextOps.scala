@@ -1329,6 +1329,47 @@ object TextOps {
         expr("tokens div docs").as("avg_tokens"),
         expr("(1000 * (docs - distinct_texts)) div docs").as("dup_permille"))
 
+  /** Snapshot-over-snapshot datasheet diff — the regression DETECTOR on
+    * top of [[corpusCard]]'s health card: given the previous and current
+    * snapshots' per-language cards, emit integer basis-point deltas and
+    * the alert bits an ingest pipeline pages on (a language's document
+    * mass dropping >20%, its exact-dup rate doubling, a language
+    * appearing or disappearing outright). This is the check a 100 TB
+    * corpus build runs BETWEEN the datasheet and the training launch —
+    * the card says what the snapshot is, the diff says what changed.
+    *
+    * Scale shape: both inputs are card outputs — one row per language —
+    * so the full-outer join is broadcast-trivial at any corpus size;
+    * all the cost lives in producing the cards (one aggregate pass
+    * each, d2's shape). Arithmetic is floor-division basis points with
+    * a `greatest(prev, 1)` guard so a brand-new language divides by 1,
+    * not 0; the dup-spike alert requires ≥10‰ absolute so a 0‰→1‰
+    * wobble on a tiny language never pages. All integer/boolean —
+    * bit-exact under the oracle replay. */
+  def corpusCardDiff(prev: DataFrame, cur: DataFrame): DataFrame = {
+    val p = prev.select(col("lang"), col("docs").as("pd"),
+      col("tokens").as("pt"), col("dup_permille").as("pdup"))
+    val c = cur.select(col("lang"), col("docs").as("cd"),
+      col("tokens").as("ct"), col("dup_permille").as("cdup"))
+    p.join(c, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("pd"), lit(0L)).as("docs_prev"),
+        coalesce(col("cd"), lit(0L)).as("docs_cur"),
+        coalesce(col("pt"), lit(0L)).as("tokens_prev"),
+        coalesce(col("ct"), lit(0L)).as("tokens_cur"),
+        coalesce(col("pdup"), lit(0L)).as("dup_prev"),
+        coalesce(col("cdup"), lit(0L)).as("dup_cur"))
+      .withColumn("docs_delta_bp",
+        expr("(10000 * (docs_cur - docs_prev)) div greatest(docs_prev, 1)"))
+      .withColumn("tokens_delta_bp",
+        expr("(10000 * (tokens_cur - tokens_prev)) div greatest(tokens_prev, 1)"))
+      .withColumn("alert_docs_drop", col("docs_cur") * 10 < col("docs_prev") * 8)
+      .withColumn("alert_dup_spike",
+        col("dup_cur") >= col("dup_prev") * 2 && col("dup_cur") >= 10)
+      .withColumn("alert_new_lang", col("docs_prev") === 0L)
+      .withColumn("alert_gone_lang", col("docs_cur") === 0L)
+  }
+
   /** Quality-aware near-dup keeper selection — the production refinement
     * of [[graft.sim.Components.keepers]]' min-id rule: within each
     * near-dup cluster keep the COPY WORTH KEEPING (most distinct tokens,

@@ -112,6 +112,36 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "c", 1L, 5L, 10000L)))
   }
 
+  test("corpusCardDiff raises exactly the right alerts per language") {
+    val s = spark
+    import s.implicits._
+    def card(rows: Seq[(Long, String, String)]) =
+      TextOps.corpusCard(rows.toDF("doc_id", "text", "lang"))
+    val prev = card(Seq(
+      (1L, "one two three", "en"), (2L, "four five", "en"),
+      (3L, "six seven eight", "en"), (4L, "nine ten", "en"),
+      (5L, "eleven twelve", "en"),
+      (6L, "un deux", "fr"), (7L, "trois quatre", "fr"),
+      (8L, "ciao mondo", "it")))
+    val cur = card(Seq(
+      (1L, "one two three", "en"), (2L, "four five", "en"), // 5 -> 2: drop
+      (6L, "un deux", "fr"), (7L, "un deux", "fr"),         // dup spike
+      (8L, "trois quatre", "fr"),
+      (9L, "hallo welt", "de")))                            // new language
+    val out = TextOps.corpusCardDiff(prev, cur).collect()
+      .map(r => r.getString(0) -> r).toMap
+    // en: 5 -> 2 docs = -6000 bp, drop alert, no dup alert
+    assert(out("en").getLong(7) == -6000L)
+    assert(out("en").getBoolean(9) && !out("en").getBoolean(10))
+    // fr: 2 -> 3 docs (+5000 bp), dup 0 -> 333 permille >= 10: spike
+    assert(out("fr").getLong(6) == 333L)
+    assert(!out("fr").getBoolean(9) && out("fr").getBoolean(10))
+    // de only in cur; it only in prev (gone implies docs-drop too)
+    assert(out("de").getBoolean(11) && !out("de").getBoolean(12))
+    assert(out("it").getBoolean(12) && out("it").getBoolean(9))
+    assert(out("it").getLong(2) == 0L) // docs_cur coalesced to 0
+  }
+
   test("vocabCard k bounds the output and the tail coverage stays partial") {
     val d = docs(1L -> "x x x y y z w", 2L -> "x q")
     val rows = TextOps.vocabCard(d, k = 2).orderBy("vocab_rank").collect()
