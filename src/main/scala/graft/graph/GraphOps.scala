@@ -286,7 +286,13 @@ object GraphOps {
     val base = initMass * 15L / 100L
     var it = 0
     while (it < iterations) {
-      val next = pagerankIteration(e, cur, n, base)
+      // re-rooted as a fresh plan leaf (the Components/hits idiom): the
+      // iteration references `cur` three times (contrib join, dangling
+      // aggregate, carry-through select), so without re-rooting the
+      // analyzed plan triples per round and driver-side plan work grows
+      // geometrically with `iterations`
+      val nextPlan = pagerankIteration(e, cur, n, base)
+      val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the input it reads
       cur.unpersist()
@@ -374,7 +380,10 @@ object GraphOps {
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
       val dangling = cur.filter(col("od") === 0L)
         .agg(coalesce(sum(expr("mass * 85 div 100")), lit(0L)).as("ds"))
-      val next = cur.select("node", "od", "is_seed")
+      // re-rooted as a fresh plan leaf: `cur` appears three times per
+      // iteration (join, dangling aggregate, carry-through) — same
+      // geometric-plan-growth guard as pagerank/hits/lpa
+      val nextPlan = cur.select("node", "od", "is_seed")
         .join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dangling))
         .select(col("node"), col("od"), col("is_seed"),
@@ -382,6 +391,7 @@ object GraphOps {
             when(col("is_seed") === 1,
               lit(base) + expr(s"ds div ${nSeeds}L")).otherwise(lit(0L)))
             .as("mass"))
+      val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the input it reads
       cur.unpersist()
