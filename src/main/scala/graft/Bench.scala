@@ -383,7 +383,10 @@ object Bench {
           "x22_sanitize" -> "x22_sanitize",
           "t37_best_keeper" -> "t37_best_keeper",
           "t38_containment_pairs" -> "t38_containment_pairs",
-          "d3_vocab" -> "d3_vocab")) {
+          "d3_vocab" -> "d3_vocab",
+          "q4_sessionize" -> "q4_sessionize",
+          "q5_asof_join" -> "q5_asof_join",
+          "q6_hll_users" -> "q6_hll_users")) {
         val (_, sec) = time {
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()

@@ -808,7 +808,29 @@ object SparkEntry {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select(col("user_id"), col("event_id"), col("rn"))
-    })
+    }),
+
+    // gap-based sessionization (30-min inactivity cut): per-key windowed
+    // state in ONE shuffle — the telemetry op behind crawl-scheduler and
+    // usage-analytics tables (graft.rel.EventOps scaladoc for plan shape)
+    "q4_sessionize" -> ((s, d) =>
+      graft.rel.EventOps.sessionize(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
+
+    // as-of join (most recent order per event) via the union+last-non-null
+    // pattern: zero row expansion vs the inequality join the oracle runs at
+    // toy scale — THE point-in-time lookup shape for 10^12-row tables
+    "q5_asof_join" -> ((s, d) =>
+      graft.rel.EventOps.asofJoin(
+        s.read.parquet(s"$d/events.parquet"),
+        s.read.parquet(s"$d/orders.parquet"))),
+
+    // deterministic HLL registers (p=6) for distinct users per event_type:
+    // sketch-based distinct counting whose exchange carries 64 rows per
+    // group, not the corpus — integer-exact and hash-checked, unlike
+    // approx_count_distinct's engine-private HLL++ layout
+    "q6_hll_users" -> ((s, d) =>
+      graft.rel.EventOps.hllRegisters(
+        s.read.parquet(s"$d/events.parquet"), "event_type", col("user_id"), p = 6))
   )
 
   /** DuckDB oracle SQL (driver runs at sf0.01 with tables registered from
@@ -2613,7 +2635,45 @@ object SparkEntry {
               SELECT user_id, event_id,
                      row_number() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
               FROM events)
-            WHERE rn <= 3""")
+            WHERE rn <= 3"""),
+      // exact-microsecond gap test replayed with date_diff (bigint, no
+      // float); the running sum is the same lag→flag→cumsum chain
+      "q4_sessionize" ->
+        ("""SELECT user_id, event_id, session_seq FROM (
+              SELECT user_id, event_id,
+                     CAST(sum(CASE WHEN prev_ts IS NULL
+                              OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                         THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+              FROM (SELECT user_id, event_id, ts,
+                           lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_ts
+                    FROM events))"""),
+      // the oracle may afford the inequality join the Spark side avoids:
+      // LEFT JOIN keeps no-prior-order events (one all-NULL match row),
+      // rn=1 picks latest o_orderdate then highest o_orderkey — the same
+      // deterministic tie rule as the union+last pattern
+      "q5_asof_join" ->
+        ("""SELECT event_id, o_orderkey AS last_orderkey FROM (
+              SELECT e.event_id, o.o_orderkey,
+                     row_number() OVER (PARTITION BY e.event_id
+                       ORDER BY o.o_orderdate DESC NULLS LAST,
+                                o.o_orderkey DESC NULLS LAST) AS rn
+              FROM events e LEFT JOIN orders o
+                ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+            WHERE rn = 1"""),
+      // bit-for-bit HLL register replay: same 60-bit md5 hash (h60), top-6
+      // bucket bits, rho from bin() length — bin() drops leading zeros in
+      // both engines, so 55 - length(bin(rest)) is the shared rho formula
+      "q6_hll_users" ->
+        (s"""WITH h AS (SELECT event_type,
+                              ${h60("CAST(user_id AS VARCHAR)")} AS v
+                       FROM events)
+             SELECT event_type, v >> 54 AS bucket,
+                    max(CASE WHEN (v & ((1::BIGINT << 54) - 1)) = 0 THEN 55
+                             ELSE 55 - length(bin(v & ((1::BIGINT << 54) - 1)))
+                        END) AS max_rho
+             FROM h GROUP BY 1, 2""")
     )
     // drop the sidecar-backed trio when no committed expectation exists
     // for this sf (driver scale sf0.01 always has them) — a missing file

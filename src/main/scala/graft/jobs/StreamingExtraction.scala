@@ -18,6 +18,18 @@ final case class BucketState(firstUrl: String)
   * first-seen `firstUrl` in `band`. */
 final case class LshCandidate(firstUrl: String, url: String, band: Int)
 
+/** One event arrival feeding the streaming sessionizer. */
+final case class SessionEvent(user_id: Long, ts: java.sql.Timestamp,
+                              event_id: Long)
+/** Keyed state for one user's OPEN session (times in epoch millis). */
+final case class OpenSession(seq: Long, startMs: Long, endMs: Long, n: Long)
+/** A closed session: no further event can join it once the watermark
+  * passes `session_end + gap`. */
+final case class ClosedSession(user_id: Long, session_seq: Long,
+                               session_start: java.sql.Timestamp,
+                               session_end: java.sql.Timestamp,
+                               n_events: Long)
+
 /** Structured-Streaming surface for the same per-page transform.
   *
   * The reference is strictly batch (SURVEY.md §2.8) and so is the north
@@ -214,6 +226,68 @@ object StreamingExtraction {
             .filter(_.url != first)
             .map(r => LshCandidate(first, r.url, r.band))
             .distinct.iterator
+        }
+      }
+  }
+
+  /** Streaming gap sessionization — the streaming analogue of the batch
+    * `q4_sessionize` ([[graft.rel.EventOps.sessionize]]): per-user keyed
+    * state holds the one OPEN session; an arrival within `gapMinutes` of
+    * the open session's end extends it, a later arrival closes it (emitted
+    * immediately) and opens the next, and event-time timeout closes an
+    * idle session once the watermark passes `end + gap` — at which point
+    * no in-order event can rejoin it, so Append-mode emission is final.
+    *
+    * Scale shape: ONE stateful operator; the store holds one fixed-width
+    * row per user with an open session, and timeout-expiry bounds that to
+    * users active within the watermark horizon — not the event history.
+    * Within-batch arrivals are sorted by (ts, event_id), the same order as
+    * the batch window, so stream and batch agree on session membership
+    * (asserted in `StreamingExtractionSpec`); timestamps are compared at
+    * millisecond precision here vs the batch op's microseconds —
+    * indistinguishable unless two events of one user are < 1 ms apart
+    * AND straddle a gap boundary. `session_seq` numbers sessions within a
+    * state lifetime (it restarts after idle expiry removes the user's
+    * state); the globally unique session key is (user_id, session_start).
+    */
+  def sessionizedEvents(spark: SparkSession, events: DataFrame,
+                        gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .as[SessionEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) { (uid, rows, state) =>
+        def closed(s: OpenSession) = ClosedSession(uid, s.seq,
+          new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs), s.n)
+        if (state.hasTimedOut) {
+          val done = closed(state.get)
+          state.remove()
+          Iterator.single(done)
+        } else {
+          val sorted = rows.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Vector.newBuilder[ClosedSession]
+          var cur = state.getOption
+          for (e <- sorted) {
+            val t = e.ts.getTime
+            cur = cur match {
+              case Some(s) if t - s.endMs <= gapMs =>
+                Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+              case Some(s) =>
+                out += closed(s)
+                Some(OpenSession(s.seq + 1, t, t, 1))
+              case None =>
+                Some(OpenSession(1L, t, t, 1))
+            }
+          }
+          val s = cur.get
+          state.update(s)
+          state.setTimeoutTimestamp(s.endMs, s"$gapMinutes minutes")
+          out.result().iterator
         }
       }
   }

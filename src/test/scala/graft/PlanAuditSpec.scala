@@ -656,4 +656,35 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"per-round vote plan must stay window-free:\n$round")
     spark.catalog.clearCache()
   }
+
+  test("q4 sessionize: one exchange on the user key; gap flag + cumsum share the sort") {
+    val p = plan("q4_sessionize")
+    assertNoCartesian(p, "q4")
+    // FormattedMode separates node name and arguments: count Exchange
+    // nodes in the tree, then pin the one exchange's key
+    assert(p.split("Exchange \\(").length - 1 == 1,
+      s"sessionize must shuffle once:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"the single exchange must partition on the session key:\n$p")
+  }
+
+  test("q5 asof join: union+last pattern — one key exchange, no inequality join") {
+    val p = plan("q5_asof_join")
+    assertNoCartesian(p, "q5")
+    assert(!p.contains("Join"),
+      s"the as-of lookup must be the union+window pattern, not a theta-join:\n$p")
+    assert(p.split("Exchange \\(").length - 1 == 1,
+      s"exactly one exchange for the whole as-of lookup:\n$p")
+    assert(p.contains("hashpartitioning(k"),
+      s"the single exchange must partition on the union key:\n$p")
+  }
+
+  test("q6 hll registers: partial max below the exchange; shuffle carries registers, not rows") {
+    val p = plan("q6_hll_users")
+    assertNoCartesian(p, "q6")
+    assert(p.contains("partial_max") || p.contains("Partial"),
+      s"register max must combine map-side so the exchange is groups x 2^p rows:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      s"the raw value column must never be a shuffle key:\n$p")
+  }
 }

@@ -243,6 +243,65 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
     info(s"${got.size} streaming candidates, replay-exact; all 5 mirrors flagged")
   }
 
+  test("streaming sessionization: in-batch closes, timeout closes, batch-identical sessions") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    def ev(uid: Long, t: String, eid: Long) =
+      SessionEvent(uid, java.sql.Timestamp.valueOf(t), eid)
+
+    val source = MemoryStream[SessionEvent]
+    val q = StreamingExtraction.sessionizedEvents(spark, source.toDF(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+
+    // u7 session 1 closes IN-BATCH when the 12:00 arrival exceeds the gap;
+    // u9's singleton and u7 session 2 close via event-time TIMEOUT as
+    // later batches advance the watermark past end+gap
+    source.addData(ev(7, "2024-01-01 10:00:00", 1), ev(7, "2024-01-01 10:20:00", 2),
+      ev(9, "2024-01-01 10:05:00", 3))
+    q.processAllAvailable()
+    source.addData(ev(7, "2024-01-01 12:00:00", 4))
+    q.processAllAvailable()
+    source.addData(ev(7, "2024-01-01 12:10:00", 5), ev(11, "2024-01-01 15:00:00", 6))
+    q.processAllAvailable()
+    source.addData(ev(11, "2024-01-01 15:05:00", 7))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql(
+        "SELECT user_id, session_seq, session_start, session_end, n_events FROM sess_out")
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().map(r => (r._1, r._2, r._3.toString, r._4.toString, r._5)).toSet
+    val expected = Set(
+      (7L, 1L, "2024-01-01 10:00:00.0", "2024-01-01 10:20:00.0", 2L),
+      (7L, 2L, "2024-01-01 12:00:00.0", "2024-01-01 12:10:00.0", 2L),
+      (9L, 1L, "2024-01-01 10:05:00.0", "2024-01-01 10:05:00.0", 1L))
+    assert(got == expected, s"got $got")
+
+    // batch agreement: the same events through EventOps.sessionize,
+    // rolled up to sessions, must contain every CLOSED streaming session
+    // identically (u11's still-open session is rightly absent above)
+    val all = Seq(
+      (7L, "2024-01-01 10:00:00", 1L), (7L, "2024-01-01 10:20:00", 2L),
+      (9L, "2024-01-01 10:05:00", 3L), (7L, "2024-01-01 12:00:00", 4L),
+      (7L, "2024-01-01 12:10:00", 5L), (11L, "2024-01-01 15:00:00", 6L),
+      (11L, "2024-01-01 15:05:00", 7L))
+      .map { case (u, t, e) => (e, java.sql.Timestamp.valueOf(t), u) }
+      .toDF("event_id", "ts", "user_id")
+    import org.apache.spark.sql.functions._
+    val batchSessions = graft.rel.EventOps.sessionize(all, gapMinutes = 30)
+      .join(all, Seq("user_id", "event_id"))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("a"), max("ts").as("b"), count(lit(1)).as("n"))
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().map(r => (r._1, r._2, r._3.toString, r._4.toString, r._5)).toSet
+    assert(expected.subsetOf(batchSessions),
+      s"stream/batch disagreement: batch=$batchSessions")
+  }
+
   test("streaming exact dedup: first-seen wins, duplicates dropped across micro-batches") {
     val s = spark
     import s.implicits._

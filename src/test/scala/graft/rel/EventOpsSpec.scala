@@ -1,0 +1,138 @@
+package graft.rel
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+/** Known-answer coverage for the event-stream operators (sessionize /
+  * as-of join / HLL registers); the driver's DuckDB oracle re-checks the
+  * same ops at sf scale (q4/q5/q6). */
+class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def events(rows: (Long, String, Long)*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (eid, t, uid) => (eid, ts(t), uid) }
+      .toDF("event_id", "ts", "user_id")
+  }
+
+  test("sessionize cuts at gaps > 30 min, exact-boundary gap stays in-session") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 7L),
+      (2L, "2024-01-01 10:30:00", 7L), // exactly 30 min -> same session
+      (3L, "2024-01-01 11:00:01", 7L), // 30m01s -> new session
+      (4L, "2024-01-01 23:00:00", 7L), // new session
+      (5L, "2024-01-01 10:05:00", 9L)) // other user independent
+    val got = EventOps.sessionize(e, gapMinutes = 30).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 1L))
+  }
+
+  test("sessionize orders equal-timestamp events by event_id") {
+    val e = events(
+      (2L, "2024-01-01 10:00:00", 7L),
+      (1L, "2024-01-01 10:00:00", 7L),
+      (3L, "2024-01-01 12:00:00", 7L))
+    val got = EventOps.sessionize(e).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 2L))
+  }
+
+  private def orders(rows: (Long, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (ok, ck, t) => (ok, ck, ts(t)) }
+      .toDF("o_orderkey", "o_custkey", "o_orderdate")
+  }
+
+  test("asofJoin picks the latest order at-or-before each event; none -> null") {
+    val e = events(
+      (1L, "2024-01-01 10:00:00", 7L), // before any order -> null
+      (2L, "2024-02-01 00:00:00", 7L), // order 11 (Jan 15) latest
+      (3L, "2024-03-01 00:00:00", 7L), // order 12 (Feb 10)
+      (4L, "2024-01-15 00:00:00", 7L), // exactly at order 11's stamp -> 11
+      (5L, "2024-06-01 00:00:00", 9L)) // user 9 has no orders -> null
+    val o = orders(
+      (11L, 7L, "2024-01-15 00:00:00"),
+      (12L, 7L, "2024-02-10 00:00:00"))
+    val got = EventOps.asofJoin(e, o).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(got == Map(1L -> -1L, 2L -> 11L, 3L -> 12L, 4L -> 11L, 5L -> -1L))
+  }
+
+  test("asofJoin breaks same-date order ties by highest o_orderkey") {
+    val e = events((1L, "2024-02-01 00:00:00", 7L))
+    val o = orders(
+      (21L, 7L, "2024-01-15 00:00:00"),
+      (25L, 7L, "2024-01-15 00:00:00"),
+      (23L, 7L, "2024-01-15 00:00:00"))
+    val got = EventOps.asofJoin(e, o).collect()
+    assert(got.length == 1 && got.head.getLong(1) == 25L)
+  }
+
+  test("HLL registers: bucket/rho replay the 60-bit hash bit-for-bit") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 42L), ("a", 43L), ("b", 42L)).toDF("g", "v")
+    val got = EventOps.hllRegisters(df, "g", col("v"), p = 6).collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+    // independent scalar re-derivation of the same md5->60-bit chain
+    def reg(value: Long): (Long, Long) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(value.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      val v = java.lang.Long.parseLong(hex, 16)
+      val bucket = v >>> 54
+      val rest = v & ((1L << 54) - 1)
+      val rho = if (rest == 0) 55L else 55L - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+      (bucket, rho)
+    }
+    val (b42, r42) = reg(42L)
+    val (b43, r43) = reg(43L)
+    val expected = Seq(("a", b42) -> r42, ("a", b43) -> r43, ("b", b42) -> r42)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(got == expected)
+  }
+
+  test("HLL estimate lands within the 64-register error band") {
+    val s = spark
+    import s.implicits._
+    val n = 5000
+    val df = (1 to n).map(i => ("g", i.toLong)).toDF("g", "v")
+    val regs = EventOps.hllRegisters(df, "g", col("v"), p = 6).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val est = EventOps.hllEstimate(regs, p = 6)
+    // 1.04/sqrt(64) ~= 13% standard error; allow 3 sigma
+    assert(math.abs(est - n) / n < 0.39, s"estimate $est vs true $n")
+  }
+
+  test("HLL registers merge across shards by elementwise max") {
+    val s = spark
+    import s.implicits._
+    val all = (1 to 2000).map(i => ("g", i.toLong))
+    val (shard1, shard2) = all.splitAt(1200)
+    def regsOf(rows: Seq[(String, Long)]) =
+      EventOps.hllRegisters(rows.toDF("g", "v"), "g", col("v"), p = 6)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val merged = (regsOf(shard1).toSeq ++ regsOf(shard2).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(merged == regsOf(all))
+  }
+}
