@@ -386,7 +386,9 @@ object Bench {
           "d3_vocab" -> "d3_vocab",
           "q4_sessionize" -> "q4_sessionize",
           "q5_asof_join" -> "q5_asof_join",
-          "q6_hll_users" -> "q6_hll_users")) {
+          "q6_hll_users" -> "q6_hll_users",
+          "q7_funnel" -> "q7_funnel",
+          "q8_cms_counters" -> "q8_cms_counters")) {
         val (_, sec) = time {
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()

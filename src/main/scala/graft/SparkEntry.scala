@@ -830,7 +830,20 @@ object SparkEntry {
     // approx_count_distinct's engine-private HLL++ layout
     "q6_hll_users" -> ((s, d) =>
       graft.rel.EventOps.hllRegisters(
-        s.read.parquet(s"$d/events.parquet"), "event_type", col("user_id"), p = 6))
+        s.read.parquet(s"$d/events.parquet"), "event_type", col("user_id"), p = 6)),
+
+    // ordered conversion funnel view→click→purchase: chained per-user min
+    // aggregations, every join on the SAME key (co-partitioned under AQE);
+    // no window over a user's history, no collect_list
+    "q7_funnel" -> ((s, d) =>
+      graft.rel.EventOps.funnel(s.read.parquet(s"$d/events.parquet"))),
+
+    // count-min sketch counters (4x256) over user activity: the exchange
+    // carries at most d*w partial-aggregated counter rows, never the
+    // events; shard sketches merge by elementwise sum
+    "q8_cms_counters" -> ((s, d) =>
+      graft.rel.EventOps.cmsCounters(
+        s.read.parquet(s"$d/events.parquet"), col("user_id"), d = 4, w = 256))
   )
 
   /** DuckDB oracle SQL (driver runs at sf0.01 with tables registered from
@@ -2673,7 +2686,32 @@ object SparkEntry {
                     max(CASE WHEN (v & ((1::BIGINT << 54) - 1)) = 0 THEN 55
                              ELSE 55 - length(bin(v & ((1::BIGINT << 54) - 1)))
                         END) AS max_rho
-             FROM h GROUP BY 1, 2""")
+             FROM h GROUP BY 1, 2"""),
+      // same chained min-aggregation shape as the Spark side; >= keeps
+      // same-timestamp step chains
+      "q7_funnel" ->
+        ("""WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY 1),
+                 s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+                        JOIN s1 ON e.user_id = s1.user_id
+                        WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1),
+                 s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+                        JOIN s2 ON e.user_id = s2.user_id
+                        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1)
+             SELECT s1.user_id,
+                    CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+                           + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END
+                         AS BIGINT) AS stage
+             FROM s1
+             LEFT JOIN s2 ON s1.user_id = s2.user_id
+             LEFT JOIN s3 ON s1.user_id = s3.user_id"""),
+      // 4 row-seeded h60 hashes per event (generate_series = the Spark
+      // posexplode), counters as plain counts — elementwise-identical
+      "q8_cms_counters" ->
+        (s"""SELECT i AS row, ${h60("'cms' || i || ':' || CAST(user_id AS VARCHAR)")} % 256 AS bucket,
+                    count(*) AS cnt
+             FROM events, generate_series(0, 3) t(i)
+             GROUP BY 1, 2""")
     )
     // drop the sidecar-backed trio when no committed expectation exists
     // for this sf (driver scale sf0.01 always has them) — a missing file

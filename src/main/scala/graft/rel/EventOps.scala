@@ -118,6 +118,61 @@ object EventOps {
       .agg(max(col("rho")).as("max_rho"))
   }
 
+  /** Ordered three-step funnel: per user, stage 1 if `step1` ever occurred,
+    * stage 2 if `step2` occurred at-or-after the FIRST step1, stage 3 if
+    * `step3` occurred at-or-after that first qualifying step2. Output
+    * (user_id, stage) for every user who completed stage 1. "At-or-after"
+    * (`>=`) keeps same-timestamp chains, matching the oracle exactly.
+    *
+    * Scale shape: three chained min-aggregations, every join/groupBy on the
+    * SAME user key — co-partitioned under AQE, no window over a user's
+    * history and no collect_list (per-user event fan-in never materializes
+    * as an array). Each stage's frame shrinks to one row per surviving
+    * user before the next join touches it.
+    */
+  def funnel(events: DataFrame,
+             step1: String = "view", step2: String = "click",
+             step3: String = "purchase"): DataFrame = {
+    val ev = events.select(col("user_id"), col("event_type"), col("ts"))
+    val s1 = ev.filter(col("event_type") === step1)
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === step2)
+      .join(s1, "user_id").filter(col("ts") >= col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === step3)
+      .join(s2, "user_id").filter(col("ts") >= col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left")
+      .join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
+                 + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"))
+  }
+
+  /** Deterministic count-min sketch counters for key frequencies: `d`
+    * independent hash rows × `w` counters; each input row increments
+    * counter `h_i(key) % w` in every row i. Output (row, bucket, cnt) —
+    * at most d×w rows, integer-exact and oracle-replayable (row-seeded
+    * md5Hash60, the repo's shared cross-engine hash). A point query
+    * reads min_i(counter[i][h_i(key)]) ≥ true count — see the spec.
+    *
+    * Scale shape: posexplode fans each row into d (row, bucket) pairs,
+    * partial count aggregation combines map-side, so the exchange carries
+    * at most d×w rows per task — the sketch, never the data. Sketches of
+    * disjoint shards merge by elementwise sum.
+    */
+  def cmsCounters(df: DataFrame, keyCol: Column,
+                  d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 16, s"bad CMS shape d=$d w=$w")
+    val hashes = array((0 until d).map { i =>
+      pmod(graft.text.TextOps.md5Hash60(
+        concat(lit(s"cms$i:"), keyCol.cast("string"))), lit(w.toLong))
+    }: _*)
+    df.select(posexplode(hashes).as(Seq("row", "bucket")))
+      .select(col("row").cast("long").as("row"), col("bucket"))
+      .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
   /** Harmonic-mean HLL estimate from a register table (driver-side, over
     * groups × 2^p rows — tiny). Standard bias-corrected small/large-range
     * rules are NOT applied beyond linear counting; with p>=6 and the

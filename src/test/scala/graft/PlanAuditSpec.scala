@@ -679,6 +679,24 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the single exchange must partition on the union key:\n$p")
   }
 
+  test("q7 funnel: all joins equi on the user key, no window over a user's history") {
+    val p = plan("q7_funnel")
+    assertNoCartesian(p, "q7")
+    assert(!p.contains("Window"),
+      s"funnel must be chained min-aggregations, not a per-user window:\n$p")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      s"stage joins must stay equi-joins:\n$p")
+  }
+
+  test("q8 cms: partial count below the exchange; shuffle carries d*w counters, not events") {
+    val p = plan("q8_cms_counters")
+    assertNoCartesian(p, "q8")
+    assert(p.contains("partial_count") || p.contains("Partial"),
+      s"counter sums must combine map-side:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      s"the raw key column must never be a shuffle key:\n$p")
+  }
+
   test("q6 hll registers: partial max below the exchange; shuffle carries registers, not rows") {
     val p = plan("q6_hll_users")
     assertNoCartesian(p, "q6")

@@ -123,6 +123,74 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(est - n) / n < 0.39, s"estimate $est vs true $n")
   }
 
+  private def typedEvents(rows: (Long, String, Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.map { case (eid, t, uid, typ) => (eid, ts(t), uid, typ) }
+      .toDF("event_id", "ts", "user_id", "event_type")
+  }
+
+  test("funnel: stages require step order, same-timestamp chains count") {
+    val e = typedEvents(
+      // u1: full ordered funnel
+      (1L, "2024-01-01 10:00:00", 1L, "view"),
+      (2L, "2024-01-01 10:05:00", 1L, "click"),
+      (3L, "2024-01-01 10:10:00", 1L, "purchase"),
+      // u2: purchase BEFORE the first view-then-click chain -> stage 2
+      (4L, "2024-01-01 09:00:00", 2L, "purchase"),
+      (5L, "2024-01-01 10:00:00", 2L, "view"),
+      (6L, "2024-01-01 10:05:00", 2L, "click"),
+      // u3: click before view -> stage 1
+      (7L, "2024-01-01 09:00:00", 3L, "click"),
+      (8L, "2024-01-01 10:00:00", 3L, "view"),
+      // u4: never viewed -> absent
+      (9L, "2024-01-01 10:00:00", 4L, "click"),
+      // u5: all three at the SAME timestamp -> >= keeps the chain
+      (10L, "2024-01-01 10:00:00", 5L, "view"),
+      (11L, "2024-01-01 10:00:00", 5L, "click"),
+      (12L, "2024-01-01 10:00:00", 5L, "purchase"))
+    val got = EventOps.funnel(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 3L, 2L -> 2L, 3L -> 1L, 5L -> 3L))
+  }
+
+  test("CMS: point-query estimate bounds the true count from above") {
+    val s = spark
+    import s.implicits._
+    // heavy key 7 (100 occurrences) among 50 singletons
+    val rows = (Seq.fill(100)(7L) ++ (100L until 150L)).map(("g", _))
+    val df = rows.toDF("g", "v")
+    val counters = EventOps.cmsCounters(df, col("v"), d = 4, w = 256)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    def estimate(key: Long): Long =
+      (0 until 4).map { i =>
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"cms$i:$key".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        val bucket = java.lang.Long.parseLong(hex, 16) % 256
+        counters.getOrElse((i.toLong, bucket), 0L)
+      }.min
+    val est = estimate(7L)
+    assert(est >= 100L, s"CMS estimate must never undercount: $est")
+    // d=4, w=256 over 150 increments: collision error is tiny
+    assert(est <= 110L, s"heavy key estimate far off: $est")
+    // a key never inserted estimates only collision mass
+    assert(estimate(999999L) <= 5L)
+  }
+
+  test("CMS sketches of disjoint shards merge by elementwise sum") {
+    val s = spark
+    import s.implicits._
+    val all = (1 to 300).map(i => ("g", (i % 40).toLong))
+    val (sh1, sh2) = all.splitAt(170)
+    def sket(rows: Seq[(String, Long)]) =
+      EventOps.cmsCounters(rows.toDF("g", "v"), col("v"), d = 4, w = 64)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val merged = (sket(sh1).toSeq ++ sket(sh2).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(merged == sket(all))
+  }
+
   test("HLL registers merge across shards by elementwise max") {
     val s = spark
     import s.implicits._
