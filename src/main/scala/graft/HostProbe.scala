@@ -23,11 +23,15 @@ object HostProbe {
     10000000.0 / ((System.nanoTime() - t0) / 1e3)
   }
 
-  def main(args: Array[String]): Unit = {
-    val nt = args.headOption.map(_.toInt)
-      .getOrElse(Runtime.getRuntime.availableProcessors())
+  /** Best-of-3 single-thread probe (JIT-warmed). Callable from other
+    * harnesses (ScalingBench) so measurements carry their own host state. */
+  def stProbe(): Double = {
     kernel() // JIT warmup
-    val st = (1 to 3).map(_ => kernel()).max
+    (1 to 3).map(_ => kernel()).max
+  }
+
+  /** Best-of-2 all-core probe (aggregate M ops/s over `nt` threads). */
+  def mtProbe(nt: Int = Runtime.getRuntime.availableProcessors()): Double = {
     def mtRun(): Double = {
       val done = new java.util.concurrent.CountDownLatch(nt)
       val t0 = System.nanoTime()
@@ -37,8 +41,15 @@ object HostProbe {
       done.await()
       nt * 10000000.0 / ((System.nanoTime() - t0) / 1e3)
     }
-    mtRun() // warmup
-    val mt = (1 to 2).map(_ => mtRun()).max
+    kernel(); mtRun() // warmup
+    (1 to 2).map(_ => mtRun()).max
+  }
+
+  def main(args: Array[String]): Unit = {
+    val nt = args.headOption.map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
+    val st = stProbe()
+    val mt = mtProbe(nt)
     println(f"""{"st_mops":$st%.1f,"mt_mops":$mt%.1f,"threads":$nt}""")
   }
 }

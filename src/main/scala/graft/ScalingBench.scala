@@ -110,8 +110,15 @@ object ScalingBench {
       if (f.isDirectory) f.listFiles().foreach(rm)
       f.delete()
     }
+    // per-level-block host probe: every block's numbers carry the host
+    // state they ran under (the bench's attribution idiom — a low-reading
+    // block is visibly a capped-host block, not a scaling property)
+    val blockProbe = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var runSeq = 0
     for (pass <- 1 to 2; cpus <- levels) {
+      val probeMt = HostProbe.mtProbe()
+      blockProbe += ((cpus, probeMt))
+      System.err.println(f"[scaling] pass=$pass cpus=$cpus%2d block probe_mt=$probeMt%.0f Mops")
       val spark = session(cpus)
       for (rep <- 0 to reps) { // rep 0 = untimed warmup
         runSeq += 1
@@ -156,7 +163,11 @@ object ScalingBench {
     }
     val bests = best.toSeq.sortBy(_._1)
       .map { case (c, d) => s""""docs_per_sec_$c":${f"$d%.1f"}""" }
-    println((bests ++ pairs ++ Seq(s""""docs":$nDocs""", s""""mode":"$mode""""))
+    val probes = blockProbe.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, ps) =>
+      s""""probe_mt_$c":${f"${ps.map(_._2).min}%.0f"}"""
+    }
+    println((bests ++ pairs ++ probes ++
+      Seq(s""""docs":$nDocs""", s""""mode":"$mode""""))
       .mkString("{", ",", "}"))
   }
 }
