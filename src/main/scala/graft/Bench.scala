@@ -388,7 +388,8 @@ object Bench {
           "q5_asof_join" -> "q5_asof_join",
           "q6_hll_users" -> "q6_hll_users",
           "q7_funnel" -> "q7_funnel",
-          "q8_cms_counters" -> "q8_cms_counters")) {
+          "q8_cms_counters" -> "q8_cms_counters",
+          "q9_range_join" -> "q9_range_join")) {
         val (_, sec) = time {
           SparkEntry.queries(name)(spark, sfDir)
             .write.mode("overwrite").format("noop").save()

@@ -843,7 +843,21 @@ object SparkEntry {
     // events; shard sketches merge by elementwise sum
     "q8_cms_counters" -> ((s, d) =>
       graft.rel.EventOps.cmsCounters(
-        s.read.parquet(s"$d/events.parquet"), col("user_id"), d = 4, w = 256))
+        s.read.parquet(s"$d/events.parquet"), col("user_id"), d = 4, w = 256)),
+
+    // binned range join: value bands (incl. one overlapping "alert" band
+    // -> multi-match) resolved as bin equi-join + post-filter, never a
+    // BroadcastNestedLoop inequality join — the 10^12-row range-join shape
+    "q9_range_join" -> ((s, d) => {
+      val ranges = s.createDataFrame(Seq(
+        ("tiny", 0.0, 1.0), ("small", 1.0, 5.0), ("mid", 5.0, 25.0),
+        ("large", 25.0, 100.0), ("huge", 100.0, 500.0),
+        ("alert", 90.0, 110.0))).toDF("band", "lo", "hi")
+      graft.rel.EventOps.rangeBinJoin(
+          s.read.parquet(s"$d/events.parquet").select(col("event_id"), col("value")),
+          col("value"), ranges, binWidth = 25.0)
+        .select(col("event_id"), col("band"))
+    })
   )
 
   /** DuckDB oracle SQL (driver runs at sf0.01 with tables registered from
@@ -2711,7 +2725,16 @@ object SparkEntry {
         (s"""SELECT i AS row, ${h60("'cms' || i || ':' || CAST(user_id AS VARCHAR)")} % 256 AS bucket,
                     count(*) AS cnt
              FROM events, generate_series(0, 3) t(i)
-             GROUP BY 1, 2""")
+             GROUP BY 1, 2"""),
+      // the oracle affords the direct inequality join over the same
+      // literal bands (incl. the overlapping alert band)
+      "q9_range_join" ->
+        ("""WITH r(band, lo, hi) AS (VALUES
+              ('tiny', 0.0, 1.0), ('small', 1.0, 5.0), ('mid', 5.0, 25.0),
+              ('large', 25.0, 100.0), ('huge', 100.0, 500.0),
+              ('alert', 90.0, 110.0))
+            SELECT e.event_id, r.band FROM events e
+            JOIN r ON e.value >= r.lo AND e.value < r.hi""")
     )
     // drop the sidecar-backed trio when no committed expectation exists
     // for this sf (driver scale sf0.01 always has them) — a missing file

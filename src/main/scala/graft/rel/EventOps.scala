@@ -173,6 +173,39 @@ object EventOps {
       .groupBy("row", "bucket").agg(count(lit(1)).as("cnt"))
   }
 
+  /** Binned range join: tag each point row with every interval
+    * `[lo, hi)` of `ranges` containing `valueCol`. The naive formulation
+    * is an inequality join (BroadcastNestedLoop at best, |P|·|R|
+    * comparisons); this is the scalable shape: each interval explodes to
+    * the integer bins of width `binWidth` it covers, points compute
+    * `floor(value / binWidth)` as a projection, and the lookup becomes a
+    * plain EQUI-join on the bin followed by the exact `[lo, hi)`
+    * post-filter — hash-joinable, broadcast-able when ranges are small,
+    * shuffle-partitionable when they are not. Overlapping intervals emit
+    * one row each; points in no interval are dropped (inner semantics).
+    *
+    * `binWidth` trades fan-out for selectivity: intervals explode to
+    * ~(hi-lo)/binWidth bin rows (keep it near the median interval width);
+    * a bin holding several intervals just multi-matches and post-filters.
+    */
+  def rangeBinJoin(points: DataFrame, valueCol: Column, ranges: DataFrame,
+                   binWidth: Double): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    // last covered bin: floor(hi/w), minus one when hi sits exactly on a
+    // bin edge ([lo,hi) excludes it)
+    val binned = ranges.select(col("lo"), col("hi"), col("band"),
+      explode(sequence(
+        floor(col("lo") / binWidth).cast("long"),
+        (floor(col("hi") / binWidth).cast("long") -
+          when(col("hi") === floor(col("hi") / binWidth) * binWidth, 1L)
+            .otherwise(0L)))).as("bin"))
+    points
+      .withColumn("bin", floor(valueCol / binWidth).cast("long"))
+      .join(binned, "bin")
+      .filter(valueCol >= col("lo") && valueCol < col("hi"))
+      .drop("bin", "lo", "hi")
+  }
+
   /** Harmonic-mean HLL estimate from a register table (driver-side, over
     * groups × 2^p rows — tiny). Standard bias-corrected small/large-range
     * rules are NOT applied beyond linear counting; with p>=6 and the

@@ -697,6 +697,16 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the raw key column must never be a shuffle key:\n$p")
   }
 
+  test("q9 range join: bin equi-join, never a nested-loop inequality join") {
+    val p = plan("q9_range_join")
+    assertNoCartesian(p, "q9")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the range lookup must resolve as a bin equi-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+           p.contains("ShuffledHashJoin"),
+      s"expected a hash-joinable bin key:\n$p")
+  }
+
   test("q6 hll registers: partial max below the exchange; shuffle carries registers, not rows") {
     val p = plan("q6_hll_users")
     assertNoCartesian(p, "q6")

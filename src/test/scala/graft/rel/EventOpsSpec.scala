@@ -191,6 +191,40 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged == sket(all))
   }
 
+  test("rangeBinJoin: [lo,hi) boundaries exact, overlaps multi-match, bin-edge hi excluded") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, 0.0), (2L, 24.999), (3L, 25.0), (4L, 50.0),
+      (5L, 95.0), (6L, 100.0), (7L, 499.9), (8L, 500.0), (9L, -1.0))
+      .toDF("event_id", "value")
+    val ranges = Seq(("a", 0.0, 25.0), ("b", 25.0, 100.0),
+      ("c", 100.0, 500.0), ("alert", 90.0, 110.0)).toDF("band", "lo", "hi")
+    val got = EventOps.rangeBinJoin(points, col("value"), ranges, binWidth = 25.0)
+      .select("event_id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      1L -> "a", 2L -> "a",            // lo inclusive, hi exclusive at 25
+      3L -> "b", 4L -> "b",
+      5L -> "b", 5L -> "alert",        // overlap emits both
+      6L -> "c", 6L -> "alert",        // 100 leaves b (hi-exclusive), enters c + alert
+      7L -> "c"))                      // 500 and -1 in no band -> dropped
+  }
+
+  test("rangeBinJoin matches the inequality-join reference on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts = (1 to 500).map(i => (i.toLong, rnd.nextDouble() * 120 - 10))
+    val rgs = Seq(("r1", -5.0, 3.0), ("r2", 3.0, 47.5), ("r3", 40.0, 100.0))
+    val got = EventOps.rangeBinJoin(pts.toDF("event_id", "value"), col("value"),
+        rgs.toDF("band", "lo", "hi"), binWidth = 10.0)
+      .select("event_id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected = (for ((id, v) <- pts; (b, lo, hi) <- rgs if v >= lo && v < hi)
+      yield (id, b)).toSet
+    assert(got == expected)
+  }
+
   test("HLL registers merge across shards by elementwise max") {
     val s = spark
     import s.implicits._
