@@ -302,6 +302,36 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch disagreement: batch=$batchSessions")
   }
 
+  test("streaming HLL registers: update-mode aggregation converges to the batch sketch") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // hllRegisters is a plain groupBy aggregation, so it drops into a
+    // stream unchanged (update mode, no watermark needed: max() is
+    // monotone — late data can only raise a register, never invalidate it)
+    val source = MemoryStream[(String, Long)]
+    val q = graft.rel.EventOps.hllRegisters(
+        source.toDF().toDF("g", "v"), "g", org.apache.spark.sql.functions.col("v"))
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete").start()
+
+    val all = (1L to 2000L).map(v => ("g", v))
+    val (b1, b2) = all.splitAt(900)
+    source.addData(b1: _*); q.processAllAvailable()
+    source.addData(b2: _*); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.sql("SELECT bucket, max_rho FROM hll_out")
+      .as[(Long, Long)].collect().toMap
+    val batch = graft.rel.EventOps.hllRegisters(
+        all.toDF("g", "v"), "g", org.apache.spark.sql.functions.col("v"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(streamed == batch,
+      s"stream/batch register disagreement: ${streamed.toSet -- batch.toSet}")
+  }
+
   test("streaming exact dedup: first-seen wins, duplicates dropped across micro-batches") {
     val s = spark
     import s.implicits._
