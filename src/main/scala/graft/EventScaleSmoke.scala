@@ -67,15 +67,25 @@ object EventScaleSmoke {
     out += "orders" -> nOrders.toString
     out += "cpus" -> cpus
 
-    for ((name, df) <- Seq[(String, () => DataFrame)](
-        "q4_sessionize" -> (() => graft.rel.EventOps.sessionize(events)),
-        "q5_asof_join" -> (() => graft.rel.EventOps.asofJoin(events, orders)),
-        "q6_hll" -> (() => graft.rel.EventOps.hllRegisters(events, "event_type", col("user_id"))),
-        "q7_funnel" -> (() => graft.rel.EventOps.funnel(events)),
-        "q8_cms" -> (() => graft.rel.EventOps.cmsCounters(events, col("user_id"))))) {
+    // each phase reports its own input volume: q5 scans the orders table
+    // through the same union+window as the events, so its denominator is
+    // nEvents + nOrders — quoting nEvents alone would understate the
+    // actual rows processed
+    for ((name, inputRows, df) <- Seq[(String, Long, () => DataFrame)](
+        ("q4_sessionize", nEvents, () => graft.rel.EventOps.sessionize(events)),
+        ("q4b_sessionize_chunked", nEvents,
+          () => graft.rel.EventOps.sessionizeChunked(events, chunkMinutes = 720)),
+        ("q5_asof_join", nEvents + nOrders,
+          () => graft.rel.EventOps.asofJoin(events, orders)),
+        ("q6_hll", nEvents,
+          () => graft.rel.EventOps.hllRegisters(events, "event_type", col("user_id"))),
+        ("q7_funnel", nEvents, () => graft.rel.EventOps.funnel(events)),
+        ("q8_cms", nEvents,
+          () => graft.rel.EventOps.cmsCounters(events, col("user_id"))))) {
       val (_, sec) = time(noop(df()))
       out += s"${name}_sec" -> f"$sec%.1f"
-      out += s"${name}_rows_per_sec" -> f"${nEvents / sec}%.0f"
+      out += s"${name}_input_rows" -> inputRows.toString
+      out += s"${name}_rows_per_sec" -> f"${inputRows / sec}%.0f"
     }
     val rt = Runtime.getRuntime
     System.gc()

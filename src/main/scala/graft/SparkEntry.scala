@@ -816,6 +816,13 @@ object SparkEntry {
     "q4_sessionize" -> ((s, d) =>
       graft.rel.EventOps.sessionize(s.read.parquet(s"$d/events.parquet"), gapMinutes = 30)),
 
+    // the scale-safe two-phase form of q4 (hot keys split across time
+    // chunks, stitched over per-chunk summary rows): result-identical by
+    // construction, so it replays q4's oracle SQL unchanged
+    "q4b_sessionize_chunked" -> ((s, d) =>
+      graft.rel.EventOps.sessionizeChunked(
+        s.read.parquet(s"$d/events.parquet"), gapMinutes = 30, chunkMinutes = 120)),
+
     // as-of join (most recent order per event) via the union+last-non-null
     // pattern: zero row expansion vs the inequality join the oracle runs at
     // toy scale — THE point-in-time lookup shape for 10^12-row tables
@@ -837,6 +844,12 @@ object SparkEntry {
     // no window over a user's history, no collect_list
     "q7_funnel" -> ((s, d) =>
       graft.rel.EventOps.funnel(s.read.parquet(s"$d/events.parquet"))),
+
+    // k-step parameterized funnel (k=5 here): the same chained min-agg
+    // fold at arbitrary depth — the oracle replays the 5-step chain
+    "q7k_funnel5" -> ((s, d) =>
+      graft.rel.EventOps.funnelSteps(s.read.parquet(s"$d/events.parquet"),
+        Seq("signup", "view", "click", "purchase", "error"))),
 
     // count-min sketch counters (4x256) over user activity: the exchange
     // carries at most d*w partial-aggregated counter rows, never the
@@ -2719,6 +2732,28 @@ object SparkEntry {
              FROM s1
              LEFT JOIN s2 ON s1.user_id = s2.user_id
              LEFT JOIN s3 ON s1.user_id = s3.user_id"""),
+      // 5-step chain: the same nested min-agg CTE ladder one level per
+      // step — replays funnelSteps(signup,view,click,purchase,error)
+      "q7k_funnel5" -> {
+        val steps = Seq("signup", "view", "click", "purchase", "error")
+        val ctes = steps.zipWithIndex.map { case (st, i) =>
+          if (i == 0)
+            s"""s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+                       WHERE event_type = '$st' GROUP BY 1)"""
+          else
+            s"""s${i + 1} AS (SELECT e.user_id, min(e.ts) AS t${i + 1}
+                       FROM events e JOIN s$i ON e.user_id = s$i.user_id
+                       WHERE e.event_type = '$st' AND e.ts >= s$i.t$i GROUP BY 1)"""
+        }.mkString(",\n")
+        val hits = (2 to steps.length).map(i =>
+          s"CASE WHEN s$i.user_id IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+        val joins = (2 to steps.length).map(i =>
+          s"LEFT JOIN s$i ON s1.user_id = s$i.user_id").mkString("\n")
+        s"""WITH $ctes
+            SELECT s1.user_id, CAST(1 + $hits AS BIGINT) AS stage
+            FROM s1
+            $joins"""
+      },
       // 4 row-seeded h60 hashes per event (generate_series = the Spark
       // posexplode), counters as plain counts — elementwise-identical
       "q8_cms_counters" ->
@@ -2740,10 +2775,13 @@ object SparkEntry {
     // for this sf (driver scale sf0.01 always has them) — a missing file
     // must surface as "skipped", never as a compare against another
     // scale's expectations
+    // q4b is result-identical to q4 by construction (two-phase chunked
+    // sessionization, spec-proven equal) — it replays the same oracle
+    val withAliases = all + ("q4b_sessionize_chunked" -> all("q4_sessionize"))
     val sidecarBacked = Map(
       "l2_merge_ensemble" -> "merge2", "l3_merge3_v3" -> "merge3v3",
       "l5_columns" -> "cols")
-    sidecarBacked.foldLeft(all) { case (m, (q, stem)) =>
+    sidecarBacked.foldLeft(withAliases) { case (m, (q, stem)) =>
       if (new java.io.File(s"$sidecars/${sf}_$stem.parquet").isFile) m
       else m - q
     }

@@ -243,7 +243,14 @@ object StreamingExtraction {
     * users active within the watermark horizon — not the event history.
     * Within-batch arrivals are sorted by (ts, event_id), the same order as
     * the batch window, so stream and batch agree on session membership
-    * (asserted in `StreamingExtractionSpec`); timestamps are compared at
+    * (asserted in `StreamingExtractionSpec`). Cross-batch OUT-OF-ORDER
+    * events the watermark legitimately admits are handled like the batch
+    * op would: one landing within the gap BEFORE the open session's start
+    * extends the session backwards (session_start updates — it is the
+    * unique key, so it must reflect the true first event), and one
+    * preceding the start by MORE than the gap closes immediately as its
+    * own single-event session (also spec-asserted); timestamps are
+    * compared at
     * millisecond precision here vs the batch op's microseconds —
     * indistinguishable unless two events of one user are < 1 ms apart
     * AND straddle a gap boundary. `session_seq` numbers sessions within a
@@ -251,12 +258,20 @@ object StreamingExtraction {
     * state); the globally unique session key is (user_id, session_start).
     */
   def sessionizedEvents(spark: SparkSession, events: DataFrame,
-                        gapMinutes: Int = 30): Dataset[ClosedSession] = {
+                        gapMinutes: Int = 30,
+                        lateMinutes: Int = 0): Dataset[ClosedSession] = {
     import spark.implicits._
     val gapMs = gapMinutes * 60000L
+    // watermark delay = max(gap, lateness tolerance): with the default 0
+    // the delay equals the gap, and no admitted event can precede an open
+    // session's start by more than the gap (the watermark already passed
+    // start - gap) — the far-late singleton branch below is then
+    // unreachable by construction. Configuring lateMinutes > gapMinutes
+    // admits deeper out-of-order data at the cost of later timeouts.
+    val delayMinutes = math.max(gapMinutes, lateMinutes)
     events
       .select(col("user_id"), col("ts"), col("event_id"))
-      .withWatermark("ts", s"$gapMinutes minutes")
+      .withWatermark("ts", s"$delayMinutes minutes")
       .as[SessionEvent]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, ClosedSession](
@@ -275,8 +290,27 @@ object StreamingExtraction {
           for (e <- sorted) {
             val t = e.ts.getTime
             cur = cur match {
+              // cross-batch LATE event preceding the open session by more
+              // than the gap (reachable only with lateMinutes > gap): it
+              // cannot extend the session backwards — batch sessionize
+              // would place it in its own earlier session, so emit it as
+              // one (taking the open session's seq, which shifts up by
+              // one: nothing about the open session has been emitted yet,
+              // and the globally-unique session key is
+              // (user_id, session_start) either way). Append-mode limit,
+              // documented: two far-late events within a gap of EACH
+              // OTHER each close as their own singleton where batch would
+              // merge them — exact parity there would need retraction.
+              case Some(s) if t < s.startMs - gapMs =>
+                out += ClosedSession(uid, s.seq, new java.sql.Timestamp(t),
+                  new java.sql.Timestamp(t), 1)
+                Some(s.copy(seq = s.seq + 1))
+              // in-gap arrival — including a late one inside
+              // [start - gap, start): extend BOTH edges, so session_start
+              // (the declared unique key) reflects the true first event
               case Some(s) if t - s.endMs <= gapMs =>
-                Some(s.copy(endMs = math.max(s.endMs, t), n = s.n + 1))
+                Some(s.copy(startMs = math.min(s.startMs, t),
+                  endMs = math.max(s.endMs, t), n = s.n + 1))
               case Some(s) =>
                 out += closed(s)
                 Some(OpenSession(s.seq + 1, t, t, 1))

@@ -61,6 +61,77 @@ object EventOps {
       .select(col("user_id"), col("event_id"), col("session_seq"))
   }
 
+  /** Two-phase hot-key sessionization — result-identical to [[sessionize]]
+    * but scale-safe under key skew. The single-pass form puts a user's
+    * ENTIRE history in one window partition; a bot key carrying 2M events
+    * serializes the whole stage on one task (the measured q4 wall at the
+    * 100M-event smoke was dominated by exactly that partition). Here the
+    * window key is (user_id, time-chunk), so the hot key splits across its
+    * chunks and no partition exceeds the user's events per `chunkMinutes`.
+    *
+    * Phase 1: local sessionization within each (user, chunk) — the same
+    * lag→flag→cumsum chain as [[sessionize]], exact interval arithmetic.
+    * Phase 2 (narrow): ONE summary row per (user, chunk) — first/last ts
+    * and local session count — stitched by a window over summaries only:
+    * chunk c's first local session continues chunk c-1's last iff the
+    * chunks are adjacent and the boundary gap is within `gapMinutes`.
+    * `chunkMinutes >= gapMinutes` (required) makes non-adjacent merges
+    * impossible: an empty intervening chunk already implies a gap longer
+    * than a chunk. The per-chunk global offset (sessions in preceding
+    * chunks minus boundary merges so far) joins back to phase 1 rows on
+    * (user, chunk) — summary volume is |user×chunk| rows, never events.
+    *
+    * The chunk id derives from a monotone epoch cast (`ts` →
+    * session-TZ timestamp → microseconds); a uniform timezone shift moves
+    * chunk EDGES but never the result — the spec asserts equality with
+    * [[sessionize]] on boundary-straddling data at several chunk widths.
+    */
+  def sessionizeChunked(events: DataFrame, gapMinutes: Int = 30,
+                        chunkMinutes: Int = 1440): DataFrame = {
+    require(chunkMinutes >= gapMinutes,
+      s"chunkMinutes=$chunkMinutes must be >= gapMinutes=$gapMinutes " +
+        "(an empty chunk must guarantee a session break)")
+    val gap = make_dt_interval(lit(0), lit(0), lit(gapMinutes), lit(0))
+    val chunkUs = chunkMinutes * 60000000L
+    val ev = events.withColumn("chunk",
+      floor(unix_micros(col("ts").cast("timestamp")) / chunkUs))
+
+    val wLocal = Window.partitionBy("user_id", "chunk")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val local = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(wLocal))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+             col("ts") > col("prev_ts") + gap, 1L).otherwise(0L))
+      .withColumn("local_seq", sum(col("new_session")).over(wLocal))
+      .select(col("user_id"), col("chunk"), col("event_id"), col("ts"),
+        col("local_seq"))
+
+    // one summary row per (user, chunk) out of the phase-1 output — the
+    // (user_id, chunk) exchange under this aggregate canonicalizes to the
+    // same exchange as the join's left leg, so Spark reuses it
+    val summary = local.groupBy("user_id", "chunk")
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
+        max(col("local_seq")).as("n_local"))
+    val wChunks = Window.partitionBy("user_id").orderBy(col("chunk").asc)
+    val offsets = summary
+      .withColumn("prev_chunk", lag(col("chunk"), 1).over(wChunks))
+      .withColumn("prev_last", lag(col("last_ts"), 1).over(wChunks))
+      .withColumn("merged",
+        when(col("prev_chunk") === col("chunk") - 1 &&
+             !(col("first_ts") > col("prev_last") + gap), 1L).otherwise(0L))
+      .withColumn("offset",
+        coalesce(sum(col("n_local")).over(
+          wChunks.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) -
+        sum(col("merged")).over(
+          wChunks.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("user_id"), col("chunk"), col("offset"))
+
+    local.join(offsets, Seq("user_id", "chunk"))
+      .select(col("user_id"), col("event_id"),
+        (col("offset") + col("local_seq")).as("session_seq"))
+  }
+
   /** As-of join: for each event, the most recent order of the same user with
     * `o_orderdate <= ts` (ties on o_orderdate broken by highest o_orderkey;
     * events with no prior order get NULL). Single shuffle on the user key —
@@ -132,21 +203,36 @@ object EventOps {
     */
   def funnel(events: DataFrame,
              step1: String = "view", step2: String = "click",
-             step3: String = "purchase"): DataFrame = {
+             step3: String = "purchase"): DataFrame =
+    funnelSteps(events, Seq(step1, step2, step3))
+
+  /** k-step generalization of [[funnel]]: stage i (1-based) requires
+    * `steps(i-1)` to occur at-or-after the first qualifying occurrence of
+    * the previous stage; output (user_id, stage) for every user who
+    * completed stage 1, stage = deepest stage reached. Same plan shape
+    * at any k: a fold of chained per-user min-aggregations (each frame
+    * shrinks to one row per surviving user before the next join touches
+    * it), then k-1 left joins on the same key to count survivals —
+    * frames are nested subsets, so the count IS the deepest stage. */
+  def funnelSteps(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
     val ev = events.select(col("user_id"), col("event_type"), col("ts"))
-    val s1 = ev.filter(col("event_type") === step1)
-      .groupBy("user_id").agg(min("ts").as("t1"))
-    val s2 = ev.filter(col("event_type") === step2)
-      .join(s1, "user_id").filter(col("ts") >= col("t1"))
-      .groupBy("user_id").agg(min("ts").as("t2"))
-    val s3 = ev.filter(col("event_type") === step3)
-      .join(s2, "user_id").filter(col("ts") >= col("t2"))
-      .groupBy("user_id").agg(min("ts").as("t3"))
-    s1.join(s2, Seq("user_id"), "left")
-      .join(s3, Seq("user_id"), "left")
-      .select(col("user_id"),
-        (lit(1L) + when(col("t2").isNotNull, 1L).otherwise(0L)
-                 + when(col("t3").isNotNull, 1L).otherwise(0L)).as("stage"))
+    val frames = steps.tail.scanLeft(
+      ev.filter(col("event_type") === steps.head)
+        .groupBy("user_id").agg(min("ts").as("t"))) { (prev, step) =>
+      ev.filter(col("event_type") === step)
+        .join(prev.withColumnRenamed("t", "tp"), "user_id")
+        .filter(col("ts") >= col("tp"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+    }
+    frames.tail.zipWithIndex.foldLeft(
+      frames.head.select(col("user_id"), lit(1L).as("stage"))) {
+      case (acc, (f, i)) =>
+        acc.join(f.select(col("user_id"), lit(1L).as(s"h$i")),
+            Seq("user_id"), "left")
+          .select(col("user_id"),
+            (col("stage") + coalesce(col(s"h$i"), lit(0L))).as("stage"))
+    }
   }
 
   /** Deterministic count-min sketch counters for key frequencies: `d`
@@ -192,8 +278,15 @@ object EventOps {
                    binWidth: Double): DataFrame = {
     require(binWidth > 0, s"binWidth=$binWidth must be positive")
     // last covered bin: floor(hi/w), minus one when hi sits exactly on a
-    // bin edge ([lo,hi) excludes it)
-    val binned = ranges.select(col("lo"), col("hi"), col("band"),
+    // bin edge ([lo,hi) excludes it). Degenerate intervals (lo >= hi,
+    // empty under [lo,hi)) are dropped up front: without this, a
+    // lo=hi=k*binWidth row computes lastBin = firstBin - 1 and
+    // sequence(start, stop) with start > stop silently generates a
+    // DESCENDING bin sequence — spurious rows the post-filter would have
+    // to rescue. Zero bin rows by construction instead.
+    val binned = ranges
+      .filter(col("lo") < col("hi"))
+      .select(col("lo"), col("hi"), col("band"),
       explode(sequence(
         floor(col("lo") / binWidth).cast("long"),
         (floor(col("hi") / binWidth).cast("long") -

@@ -302,6 +302,71 @@ class StreamingExtractionSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"stream/batch disagreement: batch=$batchSessions")
   }
 
+  test("streaming sessionization: cross-batch late data extends backwards / closes far-late singletons") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    def ev(uid: Long, t: String, eid: Long) =
+      SessionEvent(uid, java.sql.Timestamp.valueOf(t), eid)
+
+    val source = MemoryStream[SessionEvent]
+    // lateness tolerance 180 min >> 30 min gap: the watermark admits
+    // events that precede an open session's start by more than the gap
+    val q = StreamingExtraction.sessionizedEvents(spark, source.toDF(),
+        gapMinutes = 30, lateMinutes = 180)
+      .writeStream.format("memory").queryName("sess_late_out")
+      .outputMode("append").start()
+
+    // batch 1: u1 opens a session at 10:00
+    source.addData(ev(1, "2024-01-01 10:00:00", 1))
+    q.processAllAvailable()
+    // batch 2, within-gap LATE arrival 09:45 (< session start, gap
+    // satisfied): must extend the session BACKWARDS — session_start
+    // becomes 09:45, n = 2 — not be silently absorbed with the old start
+    source.addData(ev(1, "2024-01-01 09:45:00", 2))
+    q.processAllAvailable()
+    // batch 3, FAR-late arrival 08:00 (precedes the open session's start
+    // by > gap, admitted by the 180-min watermark): its own single-event
+    // closed session, emitted immediately
+    source.addData(ev(1, "2024-01-01 08:00:00", 3))
+    q.processAllAvailable()
+    // batch 4: push the watermark far enough (13:00 + 180min lateness
+    // horizon) that u1's open session times out and closes
+    source.addData(ev(2, "2024-01-01 17:00:00", 4))
+    q.processAllAvailable()
+    source.addData(ev(2, "2024-01-01 23:30:00", 5))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_late_out WHERE user_id = 1")
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().map(r => (r._1, r._2.toString, r._3.toString, r._4)).toSet
+    val expected = Set(
+      (1L, "2024-01-01 08:00:00.0", "2024-01-01 08:00:00.0", 1L), // far-late singleton
+      (1L, "2024-01-01 09:45:00.0", "2024-01-01 10:00:00.0", 2L)) // backward-extended
+    assert(got == expected, s"got $got")
+
+    // batch agreement on the same (out-of-order-delivered) event set:
+    // EventOps.sessionize sees the fully-ordered history and produces
+    // exactly these two u1 sessions
+    val all = Seq(
+      (1L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 09:45:00", 2L),
+      (1L, "2024-01-01 08:00:00", 3L))
+      .map { case (u, t, e) => (e, java.sql.Timestamp.valueOf(t), u) }
+      .toDF("event_id", "ts", "user_id")
+    import org.apache.spark.sql.functions._
+    val batchSessions = graft.rel.EventOps.sessionize(all, gapMinutes = 30)
+      .join(all, Seq("user_id", "event_id"))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("a"), max("ts").as("b"), count(lit(1)).as("n"))
+      .as[(Long, Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+      .collect().map(r => (r._1, r._3.toString, r._4.toString, r._5)).toSet
+    assert(batchSessions == expected, s"stream/batch disagreement: batch=$batchSessions")
+  }
+
   test("streaming HLL registers: update-mode aggregation converges to the batch sketch") {
     val s = spark
     import s.implicits._

@@ -225,6 +225,96 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected)
   }
 
+  test("sessionizeChunked == sessionize on crafted chunk boundaries") {
+    // gap 30 min, chunk 60 min: sessions straddling chunk edges, an event
+    // exactly ON a chunk edge, an exact-gap boundary ACROSS chunks, an
+    // empty intervening chunk, and an independent second user
+    val e = events(
+      (1L, "2024-01-01 10:50:00", 7L),
+      (2L, "2024-01-01 11:05:00", 7L), // straddles the 11:00 chunk edge, same session
+      (3L, "2024-01-01 11:35:00", 7L), // exactly 30 min after -> same session
+      (4L, "2024-01-01 13:00:00", 7L), // empty 12:xx gap region -> new session, on chunk edge
+      (5L, "2024-01-01 13:30:00", 7L), // exact-gap within chunk -> same
+      (6L, "2024-01-01 15:00:01", 7L), // > gap -> new session
+      (7L, "2024-01-01 10:59:59", 9L),
+      (8L, "2024-01-01 11:00:00", 9L)) // edge-adjacent pair, same session
+    val single = EventOps.sessionize(e, gapMinutes = 30).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    val chunked = EventOps.sessionizeChunked(e, gapMinutes = 30, chunkMinutes = 60)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(chunked == single, s"chunked=$chunked single=$single")
+    assert(single == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 2L, 5L -> 2L,
+      6L -> 3L, 7L -> 1L, 8L -> 1L))
+  }
+
+  test("sessionizeChunked == sessionize on random data at several chunk widths") {
+    val rnd = new scala.util.Random(11)
+    // bursty random walk: mixed sub-gap and super-gap steps, two users,
+    // duplicate timestamps; spans many chunks at every width tested
+    var t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val rows = (1 to 400).map { i =>
+      t += (if (rnd.nextInt(4) == 0) (25 + rnd.nextInt(90)) * 60000L
+            else rnd.nextInt(20) * 60000L)
+      (i.toLong, new java.sql.Timestamp(t).toString.stripSuffix(".0"), (i % 3).toLong)
+    }
+    val e = events(rows: _*)
+    val single = EventOps.sessionize(e, gapMinutes = 30).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toMap
+    for (chunk <- Seq(30, 45, 60, 720, 1440)) {
+      val chunked = EventOps.sessionizeChunked(e, gapMinutes = 30, chunkMinutes = chunk)
+        .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+      assert(chunked == single, s"chunkMinutes=$chunk disagrees with single-pass")
+    }
+  }
+
+  test("sessionizeChunked refuses chunk width below the gap") {
+    val e = events((1L, "2024-01-01 10:00:00", 7L))
+    intercept[IllegalArgumentException] {
+      EventOps.sessionizeChunked(e, gapMinutes = 30, chunkMinutes = 15)
+    }
+  }
+
+  test("funnelSteps at k=2/3/5: deepest nested stage, k=3 equals funnel") {
+    val e = typedEvents(
+      (1L, "2024-01-01 10:00:00", 1L, "signup"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "click"),
+      (4L, "2024-01-01 10:03:00", 1L, "purchase"),
+      (5L, "2024-01-01 10:04:00", 1L, "error"),
+      // u2 stops after the third of five steps
+      (6L, "2024-01-01 09:00:00", 2L, "signup"),
+      (7L, "2024-01-01 09:01:00", 2L, "view"),
+      (8L, "2024-01-01 09:02:00", 2L, "click"),
+      // u3 has step 4 BEFORE step 3 -> stuck at stage 2 of the 5-chain
+      (9L, "2024-01-01 08:00:00", 3L, "signup"),
+      (10L, "2024-01-01 08:01:00", 3L, "view"),
+      (11L, "2024-01-01 08:00:30", 3L, "purchase"))
+    def run(steps: String*) = EventOps.funnelSteps(e, steps).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run("signup", "view") == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    assert(run("signup", "view", "click", "purchase", "error") ==
+      Map(1L -> 5L, 2L -> 3L, 3L -> 2L))
+    // k=3 path must be identical through both entry points
+    val viaDefault = EventOps.funnel(e, "signup", "view", "click").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(run("signup", "view", "click") == viaDefault)
+    assert(viaDefault == Map(1L -> 3L, 2L -> 3L, 3L -> 2L))
+  }
+
+  test("rangeBinJoin: degenerate intervals (lo >= hi) produce zero rows by construction") {
+    val s = spark
+    import s.implicits._
+    val points = Seq((1L, 50.0), (2L, 0.0)).toDF("event_id", "value")
+    // lo=hi exactly on a bin edge (the descending-sequence trap), lo=hi
+    // off-edge, and inverted lo>hi — all empty under [lo,hi)
+    val ranges = Seq(("edge", 50.0, 50.0), ("point", 3.0, 3.0),
+      ("inverted", 80.0, 20.0), ("real", 40.0, 60.0)).toDF("band", "lo", "hi")
+    val got = EventOps.rangeBinJoin(points, col("value"), ranges, binWidth = 25.0)
+      .select("event_id", "band").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(1L -> "real"))
+  }
+
   test("HLL registers merge across shards by elementwise max") {
     val s = spark
     import s.implicits._
