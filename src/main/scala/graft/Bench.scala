@@ -126,6 +126,27 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val extras = scala.collection.mutable.LinkedHashMap.empty[String, String]
 
+    // Adjacent host stamp (round 5, closing the r4 capped-tail gap): a
+    // fresh multi-core probe + a short e1-style pure-compute control
+    // (exact cosine knn on a deterministic ~1/16 slice — ~1/256 of the
+    // baseline e1's cost), emitted into the same JSON line under
+    // `<prefix>_` keys. Each long phase takes its own stamp IMMEDIATELY
+    // before it runs, so any figure over band is attributable (host cap
+    // vs regression) from the line alone — the treatment tier_job got in
+    // r4, now also bracketing the heavy extras (e12..g12) and the e1
+    // baseline, whose r4 readings were capped by the run's own tail.
+    def hostStamp(prefix: String): Unit = {
+      extras += s"${prefix}_probe_mt_mops" -> f"${probeMtMops()}%.1f"
+      val (_, ctlSec) = time {
+        graft.sim.Ann.cosineKnn(
+          spark.read.parquet(s"$sfDir/embeddings.parquet")
+            .filter(col("vec_id") % 16 === 0), k = 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += s"${prefix}_control_sec" -> f"$ctlSec%.3f"
+      spark.catalog.clearCache()
+    }
+
     // JIT warmup: one extraction pass over ~5% of the docs, plus one
     // Outlinks pass over the same slice — the graph family's tuple
     // pipeline JITs separately from Extractor (measured: a cold
@@ -207,6 +228,9 @@ object Bench {
       spark.catalog.clearCache()
     }
 
+    // adjacent host evidence for the extras phase (see hostStamp doc)
+    hostStamp("extras_pre")
+
     // PQ memory path (round 4): IVF-PQ codebook training + ADC ranking —
     // reported OUTSIDE the headline total (composition frozen to the r04
     // scale-path set, BASELINE.md)
@@ -217,6 +241,29 @@ object Bench {
           .write.mode("overwrite").format("noop").save()
       }
       extras += "e12_pq_knn" -> f"$sec%.3f"
+      spark.catalog.clearCache()
+    }
+
+    // persisted PQ model (round 5): e12's lifecycle split — one-time
+    // model build (ranges + codebook + centroids + cell-partitioned
+    // codes through TableIO) vs a 64-query serving batch against the
+    // frozen model. The query figure belongs in e14_index_query64's cost
+    // class: zero training flops, DPP-pruned codes scan.
+    locally {
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val root = new java.io.File(
+        System.getProperty("java.io.tmpdir"), "graft_bench_e18").toString
+      val (_, buildSec) = time {
+        graft.sim.PqIndex.build(spark, emb, graft.io.ParquetTableIO, root)
+      }
+      extras += "e12_model_build" -> f"$buildSec%.3f"
+      val batch = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 64)
+      val (_, querySec) = time {
+        graft.sim.PqIndex.query(spark, graft.io.ParquetTableIO, root, batch, k = 5)
+          .write.mode("overwrite").format("noop").save()
+      }
+      extras += "e12_query64" -> f"$querySec%.3f"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
       spark.catalog.clearCache()
     }
 
@@ -420,7 +467,9 @@ object Bench {
 
     // O(n²) baseline, reported separately — runs BEFORE the tier job so
     // it is the host-state control for the state the headline queries
-    // actually measured in
+    // actually measured in; its own adjacent stamp separates "e1 read a
+    // capped host" from "e1 regressed" (the r4 ambiguity)
+    hostStamp("e1_pre")
     val (_, e1Sec) = time {
       SparkEntry.queries("e1_knn_exact")(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
@@ -449,17 +498,7 @@ object Bench {
     locally {
       val outPath = java.nio.file.Files.createTempDirectory("graft_bench_tier").toString
       ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "benchtier"))
-      extras += "tier_pre_probe_mt_mops" -> f"${probeMtMops()}%.1f"
-      val (_, ctlSec) = time {
-        // exact cosine knn on a deterministic ~1/16 slice: the same
-        // pure-compute shape as the baseline_e1 control at ~1/256 of its
-        // cost — a host-state reading, not a benchmark number
-        graft.sim.Ann.cosineKnn(
-          spark.read.parquet(s"$sfDir/embeddings.parquet")
-            .filter(col("vec_id") % 16 === 0), k = 5)
-          .write.mode("overwrite").format("noop").save()
-      }
-      extras += "tier_pre_control_sec" -> f"$ctlSec%.3f"
+      hostStamp("tier_pre")
       val (_, sec) = time {
         TierJob.run(spark, s"$outPath/extracted", outPath).collect()
       }

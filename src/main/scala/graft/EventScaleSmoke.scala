@@ -49,13 +49,15 @@ object EventScaleSmoke {
     val baseUs = 1704067200000000L
     val spanUs = 365L * 24 * 3600 * 1000000L
     val types = array(Seq("view", "click", "purchase", "signup", "error").map(lit): _*)
-    // ~2% of events land on user 0 (hot key); the rest spread uniformly
-    val events = spark.range(nEvents).select(
+    // hotDenom-th of all events land on user 0 (hot key); rest uniform
+    def eventsWithSkew(hotDenom: Long) = spark.range(nEvents).select(
       col("id").as("event_id"),
-      when(pmod(xxhash64(lit("hot"), col("id")), lit(50L)) === 0L, 0L)
+      when(pmod(xxhash64(lit("hot"), col("id")), lit(hotDenom)) === 0L, 0L)
         .otherwise(pmod(xxhash64(lit("u"), col("id")), lit(nUsers))).as("user_id"),
       timestamp_micros(lit(baseUs) + pmod(xxhash64(lit("t"), col("id")), lit(spanUs))).as("ts"),
       element_at(types, (pmod(xxhash64(lit("e"), col("id")), lit(5L)) + 1).cast("int")).as("event_type"))
+    // ~2% hot: the default realistic crawler/bot mix
+    val events = eventsWithSkew(50L)
     val orders = spark.range(nOrders).select(
       col("id").as("o_orderkey"),
       pmod(xxhash64(lit("c"), col("id")), lit(nUsers)).as("o_custkey"),
@@ -87,6 +89,36 @@ object EventScaleSmoke {
       out += s"${name}_input_rows" -> inputRows.toString
       out += s"${name}_rows_per_sec" -> f"${inputRows / sec}%.0f"
     }
+
+    // bot-flood regime: HALF of all events on one key. The single-pass
+    // window serializes that user's whole history on one task; the
+    // chunked two-phase form splits it across time chunks — this pair is
+    // the ≥3x evidence for sessionizeChunked under real skew (at mild 2%
+    // skew above, the plain form's single sort is still competitive)
+    for ((tag, denom) <- Seq("hot50" -> 2L, "hot90" -> 10L)) {
+      // denom=10 with the complement trick puts 90% on the hot key
+      val flood =
+        if (tag == "hot90") spark.range(nEvents).select(
+          col("id").as("event_id"),
+          when(pmod(xxhash64(lit("hot"), col("id")), lit(10L)) < 9L, 0L)
+            .otherwise(pmod(xxhash64(lit("u"), col("id")), lit(nUsers))).as("user_id"),
+          timestamp_micros(lit(baseUs) + pmod(xxhash64(lit("t"), col("id")), lit(spanUs))).as("ts"),
+          element_at(types, (pmod(xxhash64(lit("e"), col("id")), lit(5L)) + 1).cast("int")).as("event_type"))
+        else eventsWithSkew(denom)
+      for ((name, df) <- Seq[(String, () => DataFrame)](
+          s"q4_$tag" -> (() => graft.rel.EventOps.sessionize(flood)),
+          s"q4b_$tag" -> (() =>
+            graft.rel.EventOps.sessionizeChunked(flood, chunkMinutes = 720)))) {
+        val (_, sec) = time(noop(df()))
+        out += s"${name}_sec" -> f"$sec%.1f"
+        out += s"${name}_rows_per_sec" -> f"${nEvents / sec}%.0f"
+      }
+    }
+    // retained-heap measure: local-mode executors share this JVM, so give
+    // CacheOnce's async unpersist a beat and drop any straggler cached
+    // blocks first — the metric is LEAKED memory, not cache-in-flight
+    spark.catalog.clearCache()
+    Thread.sleep(2000)
     val rt = Runtime.getRuntime
     System.gc()
     out += "heap_used_mb" -> ((rt.totalMemory - rt.freeMemory) / (1024 * 1024)).toString

@@ -726,6 +726,17 @@ object SparkEntry {
     "e12_pq_knn" -> ((s, d) => Ann.pqKnn(emb(s, d), k = 5)),
     "e13_pq_rerank" -> ((s, d) => Ann.pqRerankKnn(emb(s, d), k = 5)),
 
+    // persisted PQ model (PqIndex): ranges/codebook/centroids/codes
+    // frozen through the TableIO seam, then self-queried — bit-identical
+    // to the inline e12 chain, so it replays e12's oracle SQL
+    "e18_pq_persisted" -> ((s, d) => {
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_e18_" + new java.io.File(d).getName).toString
+      val e = emb(s, d)
+      graft.sim.PqIndex.build(s, e, graft.io.ParquetTableIO, root)
+      graft.sim.PqIndex.query(s, graft.io.ParquetTableIO, root, e, k = 5)
+    }),
+
     // Matryoshka funnel retrieval: prefix-dim (d/4) cosine shortlist
     // inside the probed IVF cells, exact full-dim re-rank of survivors
     // only — the training-free counterpart of e13's PQ/ADC path
@@ -2601,6 +2612,9 @@ object SparkEntry {
                    ORDER BY dot DESC, b ASC) AS rank FROM dots)
              WHERE rank <= 5"""),
       "e12_pq_knn" -> pqAdcSql(5),
+      // the persisted PQ model self-query is bit-identical to the inline
+      // e12 chain by construction — same oracle
+      "e18_pq_persisted" -> pqAdcSql(5),
       // two-stage retrieval: the SAME PQ/ADC chain as e12 widened to a
       // 20-candidate shortlist (nested WITH, the g6 idiom), then an exact
       // float-cosine re-rank of only those candidates to top-5

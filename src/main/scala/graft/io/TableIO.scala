@@ -232,3 +232,20 @@ final class IcebergTableIO(format: String = "iceberg") extends TableIO {
 
   def recover(spark: SparkSession, table: String): Unit = ()
 }
+
+object IcebergTableIO {
+
+  /** The session conf an Iceberg deployment adds (plus the runtime jar on
+    * the classpath) — the complete bring-up surface, asserted by
+    * `TableIOSpec` and documented in the README recipe. `catalogType` is
+    * "hadoop" (warehouse-path catalog), "hive", or "rest"; for "rest" pass
+    * the server URI as `warehouse`. */
+  def sessionConf(catalog: String, warehouse: String,
+                  catalogType: String = "hadoop"): Map[String, String] = Map(
+    s"spark.sql.catalog.$catalog" -> "org.apache.iceberg.spark.SparkCatalog",
+    s"spark.sql.catalog.$catalog.type" -> catalogType,
+    (if (catalogType == "rest") s"spark.sql.catalog.$catalog.uri"
+     else s"spark.sql.catalog.$catalog.warehouse") -> warehouse,
+    "spark.sql.extensions" ->
+      "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions")
+}

@@ -34,9 +34,10 @@ import graft.io.ParquetTableIO
   * auditing the writer itself rather than the job (at 10^12 rows that
   * rescan can cost as much as the rewrite).
   *
-  * Operates on ONE directory (a table or a single partition dir — callers
-  * iterate partition dirs so each keeps its directory pruning). Returns a
-  * one-row (files_before, files_after, rows) reconciliation frame.
+  * [[run]] operates on ONE directory (a flat table or a single partition
+  * dir); [[runPartitioned]] drives the per-partition loop over a
+  * `col=value`-partitioned root. Returns a one-row (files_before,
+  * files_after, rows) reconciliation frame per compacted directory.
   */
 object CompactJob {
 
@@ -89,5 +90,42 @@ object CompactJob {
       }
     Seq((filesBefore, filesAfter, rows))
       .toDF("files_before", "files_after", "rows")
+  }
+
+  /** Partitioned-table driver: iterate the `col=value` partition dirs of
+    * `tablePath` and compact each INTO the matching partition dir of
+    * `outPath` — the loop callers previously hand-rolled. Each partition
+    * compacts independently (its own size-based file count, its own
+    * observe-counted reconciliation row), and the output keeps the
+    * `col=value` directory layout, so partition pruning on the compacted
+    * table is exactly what it was. In-place compaction (outPath ==
+    * tablePath under a tmp-swap) is deliberately NOT offered on plain
+    * parquet — non-transactional swaps of a live table are what
+    * [[graft.io.TableIO.replacePartition]] exists for; under Iceberg this
+    * whole job is the `rewrite_data_files` procedure anyway.
+    *
+    * Returns one reconciliation row PER partition:
+    * (partition, files_before, files_after, rows). Refuses a FLAT table
+    * (use [[run]]) and mixed layouts. */
+  def runPartitioned(spark: SparkSession, tablePath: String, outPath: String,
+                     targetFileBytes: Long = 128L << 20,
+                     verifyRescan: Boolean = false): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(tablePath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(root)
+    val partDirs = entries.filter(s => s.isDirectory && s.getPath.getName.contains("="))
+      .map(_.getPath.getName).sorted
+    require(partDirs.nonEmpty,
+      s"$tablePath has no col=value partition dirs; use CompactJob.run for flat tables")
+    val strays = entries.filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    require(strays.isEmpty,
+      s"$tablePath mixes top-level part files with partition dirs " +
+        s"(${strays.take(3).map(_.getPath.getName).mkString(", ")}); migrate first")
+    val perPart = partDirs.map { dir =>
+      run(spark, s"$tablePath/$dir", s"$outPath/$dir", targetFileBytes, verifyRescan)
+        .withColumn("partition", lit(dir))
+        .select("partition", "files_before", "files_after", "rows")
+    }
+    perPart.reduce(_.unionByName(_))
   }
 }

@@ -6,14 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing for a training-data pipeline: media payloads
   * are opaque `binary` columns with typed metadata travelling beside them.
   *
-  * The CODEC layer is stubbed (no image/audio libraries in this sandbox):
-  * `decodeStub` derives deterministic pseudo-metadata from the bytes, and
-  * `featuresStub` a deterministic byte-histogram feature vector. The
+  * The CODEC layer is a pluggable seam ([[MediaCodec]]): a real deployment
+  * injects an implementation backed by its image/audio libraries; this
+  * sandbox ships [[StubCodec]] (no codec libraries here), which derives
+  * deterministic pseudo-metadata and a byte-histogram feature vector —
+  * chosen to be expressible in the driver's DuckDB oracle, so the decode
+  * PLUMBING is hash-checked even though the codec is a stand-in. The
   * Spark-side contract is real and what matters at 100 TB: schema shape,
-  * per-partition batched iteration (one decoder instance per task, amortised
-  * over the partition — the mapInPandas batch pattern expressed as typed
-  * mapPartitions), size-bucketed repartition before decode, and column
-  * pruning so the binary column is only read where needed.
+  * per-partition batched iteration (one decoder instance opened per task,
+  * amortised over the partition — the mapInPandas batch pattern expressed
+  * as typed mapPartitions), size-bucketed repartition before decode, and
+  * column pruning so the binary column is only read where needed.
   */
 object MultiModal {
 
@@ -26,6 +29,42 @@ object MultiModal {
       frames: Int)
 
   final case class MediaFeatures(media_id: String, features: Array[Float])
+
+  /** The injection seam between Spark plumbing and media libraries. Ships
+    * to executors (Serializable); heavyweight native state (decoder
+    * contexts, model weights) must NOT be serialized — acquire it in
+    * [[open]] (called once per task before the first row, the
+    * amortisation point) into `@transient` fields and release it in
+    * [[close]] (called after the partition is exhausted). */
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(id: String, bytes: Array[Byte]): MediaMeta
+    def features(id: String, bytes: Array[Byte]): MediaFeatures
+    def close(): Unit = ()
+  }
+
+  /** The sandbox stand-in (see object doc): deterministic, oracle-
+    * replayable, zero native state. */
+  object StubCodec extends MediaCodec {
+    def decode(id: String, bytes: Array[Byte]): MediaMeta = decodeStub(id, bytes)
+    def features(id: String, bytes: Array[Byte]): MediaFeatures = featuresStub(id, bytes)
+  }
+
+  /** Per-partition codec lifecycle: open before the first row, decode
+    * each row through `f`, close exactly once when exhausted. */
+  private def codecIterator[T](codec: MediaCodec, it: Iterator[(String, Array[Byte])],
+                               f: (MediaCodec, String, Array[Byte]) => T): Iterator[T] = {
+    codec.open()
+    var closed = false
+    new Iterator[T] {
+      def hasNext: Boolean = {
+        val h = it.hasNext
+        if (!h && !closed) { closed = true; codec.close() }
+        h
+      }
+      def next(): T = { val (id, bytes) = it.next(); f(codec, id, bytes) }
+    }
+  }
 
   /** Container sniffing from magic bytes — real logic (no codec needed). */
   def sniffFormat(bytes: Array[Byte]): String = {
@@ -77,7 +116,8 @@ object MultiModal {
     * bucket + salt before the per-partition decode loop. */
   def decode(spark: SparkSession, media: DataFrame,
              idCol: String = "media_id", binCol: String = "media",
-             saltBuckets: Int = 64): Dataset[MediaMeta] = {
+             saltBuckets: Int = 64,
+             codec: MediaCodec = StubCodec): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select(col(idCol), col(binCol))
       .withColumn("size_bucket",
@@ -86,11 +126,7 @@ object MultiModal {
       .repartition(col("size_bucket"), col("salt"))
       .select(col(idCol), col(binCol))
       .as[(String, Array[Byte])]
-      .mapPartitions { it =>
-        // one decoder instance per task (the batch-amortisation seam where
-        // a real codec would be initialised once)
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
-      }
+      .mapPartitions(it => codecIterator(codec, it, (c, id, b) => c.decode(id, b)))
   }
 
   /** Frame sampling plumbing for "video" payloads: deterministic stride
@@ -103,9 +139,10 @@ object MultiModal {
   }
 
   def features(spark: SparkSession, media: DataFrame,
-               idCol: String = "media_id", binCol: String = "media"): Dataset[MediaFeatures] = {
+               idCol: String = "media_id", binCol: String = "media",
+               codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col(idCol), col(binCol)).as[(String, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) => featuresStub(id, bytes) })
+      .mapPartitions(it => codecIterator(codec, it, (c, id, b) => c.features(id, b)))
   }
 }

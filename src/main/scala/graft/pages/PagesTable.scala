@@ -26,6 +26,8 @@ object PagesTable {
     case "sf0.1"   => 100000L
     case "sf0.3"   => 300000L
     case "sf1"     => 1000000L // order-of-magnitude smoke over the bench SF
+    case "sf3"     => 3000000L // second tier-scaling decade point (round 5:
+                               // pins the gram-exchange linearity claim)
     case _         => 2000L
   }
 

@@ -63,11 +63,18 @@ object EventOps {
 
   /** Two-phase hot-key sessionization — result-identical to [[sessionize]]
     * but scale-safe under key skew. The single-pass form puts a user's
-    * ENTIRE history in one window partition; a bot key carrying 2M events
-    * serializes the whole stage on one task (the measured q4 wall at the
-    * 100M-event smoke was dominated by exactly that partition). Here the
-    * window key is (user_id, time-chunk), so the hot key splits across its
-    * chunks and no partition exceeds the user's events per `chunkMinutes`.
+    * ENTIRE history in one window partition, serializing the stage on one
+    * task as the hot key grows; here the window key is (user_id,
+    * time-chunk), so the hot key splits across its chunks and no
+    * partition exceeds the user's events per `chunkMinutes`.
+    *
+    * Measured crossover (100M-event smoke, BASELINE.md): at a mild 2%-hot
+    * bot key the single-pass form still wins (~66 vs ~84 s — its one
+    * skewed partition is only ~3.5× the average, and this form pays a
+    * second narrow pass), at 50%-hot this form is 3.6× faster (147.7 →
+    * 40.8 s) and at 90%-hot 10.9× (368.5 → 33.9 s) — the single-pass
+    * cost is Ω(hot-key size) serial, this one's is flat. Pick it when a
+    * key can carry an unbounded fraction of the stream.
     *
     * Phase 1: local sessionization within each (user, chunk) — the same
     * lag→flag→cumsum chain as [[sessionize]], exact interval arithmetic.
@@ -106,11 +113,17 @@ object EventOps {
       .withColumn("local_seq", sum(col("new_session")).over(wLocal))
       .select(col("user_id"), col("chunk"), col("event_id"), col("ts"),
         col("local_seq"))
+    // phase-1 output feeds BOTH the summary leg and the final join leg of
+    // one action — self-releasing persist so the window pass runs once
+    // (the Ann-family CacheOnce idiom), and its (user_id, chunk) hash
+    // partitioning carries into the join, so the wide side never
+    // re-shuffles
+    val localC = graft.util.CacheOnce(local)
 
     // one summary row per (user, chunk) out of the phase-1 output — the
     // (user_id, chunk) exchange under this aggregate canonicalizes to the
     // same exchange as the join's left leg, so Spark reuses it
-    val summary = local.groupBy("user_id", "chunk")
+    val summary = localC.groupBy("user_id", "chunk")
       .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"),
         max(col("local_seq")).as("n_local"))
     val wChunks = Window.partitionBy("user_id").orderBy(col("chunk").asc)
@@ -127,7 +140,7 @@ object EventOps {
           wChunks.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("user_id"), col("chunk"), col("offset"))
 
-    local.join(offsets, Seq("user_id", "chunk"))
+    localC.join(offsets, Seq("user_id", "chunk"))
       .select(col("user_id"), col("event_id"),
         (col("offset") + col("local_seq")).as("session_seq"))
   }

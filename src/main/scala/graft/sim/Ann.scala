@@ -289,10 +289,26 @@ object Ann {
     * shuffled against the data.
     *
     * Output: (vec_id, qv array<long>) in dimension order. */
-  def sqQuantize(emb: DataFrame): DataFrame = {
+  def sqQuantize(emb: DataFrame): DataFrame =
+    sqQuantizeWith(emb, sqRange(emb))
+
+  /** Per-dimension (j, mn, mx) range table of the corpus — `dim` rows.
+    * Persisted by [[PqIndex.build]] so later query batches quantize
+    * against the FROZEN build-corpus normalisation (the serving
+    * contract), not their own batch statistics. */
+  def sqRange(emb: DataFrame): DataFrame =
+    emb.select(posexplode(asDouble(col("embedding"))).as(Seq("j", "x")))
+      .groupBy("j").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+
+  /** [[sqQuantize]] against an EXPLICIT range table. Values outside
+    * [mn, mx] (possible when quantizing new data against a frozen range)
+    * map monotonically to codes outside [0,127] — still exact integers,
+    * deliberately not clamped: clamping would break the bit-identity of
+    * a self-quantization replay for nothing (ADC arithmetic is exact at
+    * any code magnitude). */
+  def sqQuantizeWith(emb: DataFrame, rng: DataFrame): DataFrame = {
     val ex = emb.select(col("vec_id"),
       posexplode(asDouble(col("embedding"))).as(Seq("j", "x")))
-    val rng = ex.groupBy("j").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
     ex.join(broadcast(rng), "j")
       .withColumn("q", when(col("mx") === col("mn"), lit(0L))
         .otherwise(floor((col("x") - col("mn")) * 127.0 / (col("mx") - col("mn")))))
@@ -427,28 +443,65 @@ object Ann {
   /** [[pqModel]] over an already-quantized (and ideally cached) code
     * table — lets [[pqKnn]] share ONE quantization pass between codebook
     * training and the ADC query side. */
-  def pqModelFromCodes(qv: DataFrame, subspaces: Int, ksub: Int,
-                       iters: Int): (DataFrame, DataFrame) = {
-    val sv = qv
-      .select(col("vec_id"), col("qv"),
+  /** Cut each code vector into `subspaces` contiguous subvectors:
+    * (vec_id, sub, sv). The subspace id is DATA (explode), so all M
+    * codebooks train/encode in one DAG. */
+  def pqSubvectors(qv: DataFrame, subspaces: Int): DataFrame =
+    qv.select(col("vec_id"), col("qv"),
         explode(sequence(lit(0), lit(subspaces - 1))).as("sub"))
       .withColumn("sd", (size(col("qv")) / subspaces).cast("int"))
       .select(col("vec_id"), col("sub"),
         slice(col("qv"), col("sub") * col("sd") + 1, col("sd")).as("sv"))
+
+  /** Per-subspace nearest-codebook-centroid assignment: exact integer
+    * squared-L2, cluster-asc tie-break — the one expression shared by
+    * codebook TRAINING ([[pqModelFromCodes]]'s Lloyd rounds) and
+    * frozen-model ENCODING ([[PqIndex.append]]), so an append encodes
+    * bit-identically to a rebuild over the same rows. */
+  def pqAssignSub(sv: DataFrame, cent: DataFrame): DataFrame =
+    sv.join(broadcast(cent), "sub")
+      .withColumn("dist",
+        aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, v) => acc + v))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("dist"), col("cluster"))).as("m"))
+      .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"))
+
+  /** Encode against a FROZEN codebook: (vec_id, sub, cluster). */
+  def pqEncode(qv: DataFrame, book: DataFrame, subspaces: Int): DataFrame =
+    pqAssignSub(pqSubvectors(qv, subspaces), book)
+
+  /** Compact the M-rows-per-vector code table to one (vec_id,
+    * code array<long>) row — the persisted index layout ([[PqIndex]]):
+    * M small ints per vector, the whole point of PQ compression. */
+  def pqPack(codes: DataFrame): DataFrame =
+    codes.groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cluster")))).as("a"))
+      .select(col("vec_id"), transform(col("a"), s => s.getField("cluster")).as("code"))
+
+  /** Inverse of [[pqPack]]: the array position IS the subspace id. */
+  def pqUnpack(packed: DataFrame): DataFrame =
+    packed.select(col("vec_id"), posexplode(col("code")).as(Seq("sub", "cluster")))
+
+  /** PQ reconstruction: per-subspace centroids concatenated in subspace
+    * order — the compressed stand-in ADC ranks against. */
+  def pqReconstruct(codes: DataFrame, book: DataFrame): DataFrame =
+    codes.join(broadcast(book), Seq("sub", "cluster"))
+      .groupBy("vec_id")
+      .agg(array_sort(collect_list(struct(col("sub"), col("cv")))).as("a"))
+      .select(col("vec_id"),
+        flatten(transform(col("a"), s => s.getField("cv"))).as("rv"))
+
+  def pqModelFromCodes(qv: DataFrame, subspaces: Int, ksub: Int,
+                       iters: Int): (DataFrame, DataFrame) = {
+    val sv = pqSubvectors(qv, subspaces)
     val par = qv.agg(count(lit(1)).as("n"))
       .select(greatest(lit(1L), floor(col("n") / ksub).cast("long")).as("stride"))
     val init = sv.crossJoin(broadcast(par))
       .filter(pmod(graft.text.TextOps.md5Hash60(
         concat(lit("pq:"), col("vec_id").cast("string"))), col("stride")) === 0)
       .select(col("sub"), col("vec_id").as("cluster"), col("sv").as("cv"))
-    def assign(cent: DataFrame): DataFrame =
-      sv.join(broadcast(cent), "sub")
-        .withColumn("dist",
-          aggregate(zip_with(col("sv"), col("cv"), (x, y) => (x - y) * (x - y)),
-            lit(0L), (acc, v) => acc + v))
-        .groupBy("vec_id", "sub")
-        .agg(min(struct(col("dist"), col("cluster"))).as("m"))
-        .select(col("vec_id"), col("sub"), col("m.cluster").as("cluster"))
+    def assign(cent: DataFrame): DataFrame = pqAssignSub(sv, cent)
     def update(assigned: DataFrame, prev: DataFrame): DataFrame = {
       val next = assigned.join(sv, Seq("vec_id", "sub"))
         .select(col("sub"), col("cluster"), posexplode(col("sv")).as(Seq("j", "x")))
@@ -490,11 +543,7 @@ object Ann {
             iters: Int = 1, cells: Int = 0, nprobe: Int = 4): DataFrame = {
     val qv = graft.util.CacheOnce(sqQuantize(emb))
     val (codes, book) = pqModelFromCodes(qv, subspaces, ksub, iters)
-    val recon = codes.join(broadcast(book), Seq("sub", "cluster"))
-      .groupBy("vec_id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("cv")))).as("a"))
-      .select(col("vec_id"),
-        flatten(transform(col("a"), s => s.getField("cv"))).as("rv"))
+    val recon = pqReconstruct(codes, book)
     val assign = graft.util.CacheOnce(ivfAssign(emb, cells, nprobe)
       .select(col("vec_id"), col("cell"), col("rn")))
     val l = assign.join(qv, "vec_id")

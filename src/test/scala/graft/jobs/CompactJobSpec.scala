@@ -64,4 +64,51 @@ class CompactJobSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     }
   }
+
+  test("runPartitioned compacts a tiered table per partition with pruning preserved") {
+    val s = spark
+    import s.implicits._
+    // tier-partitioned table built from many tiny appends (the TierJob
+    // output shape after months of ingest)
+    val table = s"$tmp/tiered"
+    val pages = PagesTable.generate(spark, seed = 9L, n = 300, partitions = 1)
+      .select(col("url"), col("html"),
+        pmod(xxhash64(col("url")), lit(3)).cast("int").as("tier"))
+    for (i <- 0 until 12)
+      pages.filter(pmod(xxhash64(lit("b"), col("url")), lit(12)) === i)
+        .coalesce(1).write.mode("append").partitionBy("tier").parquet(table)
+
+    val out = s"$tmp/tiered_compact"
+    val stats = CompactJob.runPartitioned(spark, table, out,
+        targetFileBytes = 1L << 20).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(stats.map(_._1).toSeq == Seq("tier=0", "tier=1", "tier=2"),
+      s"one reconciliation row per partition, got ${stats.toSeq}")
+    assert(stats.forall { case (_, before, after2, _) => after2 < before },
+      s"every partition must shrink its file count: ${stats.toSeq}")
+    assert(stats.map(_._4).sum == 300, "no rows lost or duplicated")
+
+    // identical content INCLUDING the partition column (re-attached from
+    // the preserved col=value layout on read)
+    val a = spark.read.parquet(table).select("url", "tier")
+    val b = spark.read.parquet(out).select("url", "tier")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+
+    // pruning preserved: a tier filter on the compacted table reads only
+    // that partition's directory
+    val pruned = spark.read.parquet(out).filter(col("tier") === 1)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(pruned.nonEmpty && pruned.forall(_.contains("tier=1")),
+      s"tier=1 scan must touch only tier=1 files: ${pruned.toSeq}")
+
+    // refusal modes: flat table -> use run; partitioned root -> use this
+    intercept[IllegalArgumentException] {
+      CompactJob.runPartitioned(spark, s"$tmp/table", s"$tmp/x")
+    }
+    intercept[IllegalArgumentException] {
+      CompactJob.run(spark, table, s"$tmp/y")
+    }
+  }
 }
