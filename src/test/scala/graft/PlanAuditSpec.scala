@@ -679,6 +679,33 @@ class PlanAuditSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"the single exchange must partition on the union key:\n$p")
   }
 
+  test("q4b chunked sessionize: the WIDE window partitions on (user, chunk), never user alone") {
+    val p = plan("q4b_sessionize_chunked")
+    assertNoCartesian(p, "q4b")
+    // the skew-safety property: the event-volume window's partition key
+    // must include the time chunk — a regression back to a user-only
+    // partition resurrects the hot-key serial task. The summary-stitch
+    // window IS user-only, but it runs over per-(user,chunk) summary
+    // rows (post-aggregate), so the plan must show the user-only
+    // partitioning only ABOVE an aggregate of the chunked key.
+    assert(p.contains("hashpartitioning(user_id#") &&
+           p.contains(", chunk#") || p.contains("hashpartitioning(user_id, chunk"),
+      s"wide window must key on (user_id, chunk):\n$p")
+    // offsets join back on (user_id, chunk): no re-shuffle of the wide
+    // side to a different key between window and join
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      s"the offset join must stay an equi-join:\n$p")
+  }
+
+  test("q7k 5-step funnel: same window-free chained-min shape at depth 5") {
+    val p = plan("q7k_funnel5")
+    assertNoCartesian(p, "q7k")
+    assert(!p.contains("Window"),
+      s"k-step funnel must stay chained min-aggregations at any k:\n$p")
+    assert(!p.toLowerCase.contains("broadcastnestedloop"),
+      s"stage joins must stay equi-joins:\n$p")
+  }
+
   test("q7 funnel: all joins equi on the user key, no window over a user's history") {
     val p = plan("q7_funnel")
     assertNoCartesian(p, "q7")
