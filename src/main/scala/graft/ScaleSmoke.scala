@@ -13,15 +13,24 @@ import graft.pages.PagesTable
   * small-file blowup, throughput within the known docs/s band while the
   * host lasts.
   *
-  * Usage: runMain graft.ScaleSmoke [sfName] [cpus] [mode]
-  *   default: sf1 32 extract+tier
+  * Usage: runMain graft.ScaleSmoke [sfName] [cpus] [mode] [saltBuckets]
+  *   default: sf1 32 extract+tier 64
   *   prints one JSON line with per-phase seconds and docs/s.
+  *
+  * `saltBuckets 0` disables the extraction job's salted repartition —
+  * the full-html-payload shuffle (at sf3 that shuffle alone is ~36 GB
+  * of scratch, which this single-disk sandbox cannot hold next to the
+  * outputs; the 100 TB design default is salt OFF for byte-balanced
+  * layouts anyway, see ExtractionJob.planWorkSet). Use it when the
+  * phase under test is the TIER pass and extraction is just corpus
+  * materialisation.
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val sfName = args.headOption.getOrElse("sf1")
     val cpus = args.lift(1).getOrElse("32")
     val mode = args.lift(2).getOrElse("extract+tier")
+    val saltBuckets = args.lift(3).map(_.toInt).getOrElse(64)
 
     val tmpfsBase = sys.env.get("SPARK_GRAFT_TMPFS")
     val scratch = tmpfsBase.map { b =>
@@ -60,8 +69,10 @@ object ScaleSmoke {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(outPath))
 
     val (_, extractSec) = time {
-      ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "smoke"))
+      ExtractionJob.run(spark, JobConfig(pagesPath, outPath, runId = "smoke",
+        saltBuckets = saltBuckets))
     }
+    out += "salt_buckets" -> saltBuckets.toString
     out += "extract_sec" -> f"$extractSec%.1f"
     out += "extract_docs_per_sec" -> f"${nDocs / extractSec}%.1f"
 
