@@ -432,9 +432,11 @@ object Bench {
           "t38_containment_pairs" -> "t38_containment_pairs",
           "d3_vocab" -> "d3_vocab",
           "q4_sessionize" -> "q4_sessionize",
+          "q4b_sessionize_chunked" -> "q4b_sessionize_chunked",
           "q5_asof_join" -> "q5_asof_join",
           "q6_hll_users" -> "q6_hll_users",
           "q7_funnel" -> "q7_funnel",
+          "q7k_funnel5" -> "q7k_funnel5",
           "q8_cms_counters" -> "q8_cms_counters",
           "q9_range_join" -> "q9_range_join")) {
         val (_, sec) = time {
